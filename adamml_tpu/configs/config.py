@@ -1,0 +1,373 @@
+"""Configuration surface.
+
+Typed dataclass configs plus an argparse builder exposing the same CLI flag
+names as the reference (reference opts.py:5-149) so reference training
+commands work unchanged. Known reference defects are fixed, not replicated:
+the invalid default backbone ``s3d`` (reference opts.py:9) becomes ``adamml``,
+and undefined flags referenced by the reference drivers are either defined or
+dropped (see SURVEY.md "Known reference defects").
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+from .dataset_config import DATASET_CONFIG
+
+MODALITIES = ("rgb", "flow", "rgbdiff", "sound")
+
+# Per-modality channel table (reference train_adamml.py:86-95):
+# rgb = 3, flow = 2 channels x 5 consecutive frames, rgbdiff = 3 x 5, sound = 1.
+_INPUT_CHANNELS = {"rgb": 3, "flow": 2 * 5, "rgbdiff": 3 * 5, "sound": 1}
+
+# Consecutive-frame counts (reference utils/video_dataset.py:310-313).
+NUM_CONSECUTIVE_FRAMES = {"rgb": 1, "sound": 1, "flow": 5, "rgbdiff": 5}
+
+# Normalization constants (reference models/adamml.py:93-99): ImageNet
+# mean/std for rgb/rgbdiff, [0.5]/[mean(ImageNet std)] for flow; sound is
+# neither normalized nor cropped (reference utils/utils.py:119-123).
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+FLOW_MEAN = (0.5,)
+FLOW_STD = (sum(IMAGENET_STD) / 3.0,)
+
+
+def input_channels_for(modality: str) -> int:
+    return _INPUT_CHANNELS[modality]
+
+
+def modality_mean(modality: str) -> Tuple[float, ...]:
+    return IMAGENET_MEAN if modality in ("rgb", "rgbdiff") else FLOW_MEAN
+
+
+def modality_std(modality: str) -> Tuple[float, ...]:
+    return IMAGENET_STD if modality in ("rgb", "rgbdiff") else FLOW_STD
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Model architecture flags (reference opts.py:9-35)."""
+
+    backbone_net: str = "adamml"
+    depth: int = 50
+    dropout: float = 0.5
+    groups: int = 8  # frames per segment
+    num_segments: int = 1
+    frames_per_group: int = 1  # dense: sampling stride
+    without_t_stride: bool = False
+    pooling_method: str = "max"  # 'avg' | 'max'
+    fusion_point: str = "logits"  # 'fc2' | 'logits'
+    prefix: str = ""
+    learnable_lf_weights: bool = False
+    causality_modeling: Optional[str] = None  # None | 'lstm'
+    cost_weights: Optional[List[float]] = None
+    rng_policy: bool = False
+    rng_threshold: float = 0.5
+    gammas: float = 10.0
+    penalty_type: str = "blockdrop"  # 'mean' | 'blockdrop'
+    modality: List[str] = dataclasses.field(default_factory=lambda: ["rgb"])
+    num_classes: int = 31
+    # TPU-specific knobs (no reference equivalent): compute precision.
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    @property
+    def input_channels(self) -> List[int]:
+        return [input_channels_for(m) for m in self.modality]
+
+    @property
+    def major_modality(self) -> List[str]:
+        """rgbdiff acts only as a policy proxy for flow when both are present
+        (reference train_adamml.py:169-172)."""
+        if "rgbdiff" in self.modality and "flow" in self.modality:
+            return [m for m in self.modality if m != "rgbdiff"]
+        return list(self.modality)
+
+    @property
+    def policy_frames(self) -> int:
+        """Policy stream frame count (reference models/adamml.py:155)."""
+        return max(1, self.groups // 2)
+
+
+@dataclasses.dataclass
+class OptimConfig:
+    """Optimizer/schedule flags (reference opts.py:42-78)."""
+
+    batch_size: int = 72  # global batch
+    lr: float = 0.01
+    p_lr: float = 0.01
+    lr_scheduler: str = "cosine"  # step | multisteps | cosine | plateau
+    lr_steps: List[float] = dataclasses.field(default_factory=lambda: [15, 30, 45])
+    momentum: float = 0.9
+    nesterov: bool = False
+    weight_decay: float = 1e-4
+    epochs: int = 50
+    warmup_epochs: int = 5
+    finetune_epochs: int = 10
+    clip_gradient: Optional[float] = None
+    curr_stage: str = "warmup"  # warmup | alternative_training | finetune
+    start_epoch: int = 0
+
+
+@dataclasses.dataclass
+class DataConfig:
+    """Data pipeline flags (reference opts.py:80-110, 118-128)."""
+
+    datadir: List[str] = dataclasses.field(default_factory=list)
+    dataset: str = "kinetics-sounds"
+    threed_data: bool = False
+    input_size: int = 224
+    disable_scaleup: bool = False
+    random_sampling: bool = False
+    dense_sampling: bool = False
+    augmentor_ver: str = "v2"
+    scale_range: List[int] = dataclasses.field(default_factory=lambda: [256, 320])
+    mean: Optional[List[float]] = None
+    std: Optional[List[float]] = None
+    skip_normalization: bool = False
+    fps: float = 29.97
+    audio_length: float = 1.28
+    resampling_rate: float = 24000
+    workers: int = 18
+    num_crops: int = 1
+    num_clips: int = 1
+    val_num_clips: int = 10
+    # Host decode canvas (TPU-specific): decoded frames are placed into a
+    # fixed-size canvas so batches have static shapes; true (h, w) ride along.
+    canvas_size: Tuple[int, int] = (256, 464)
+    use_native_decoder: bool = True
+    synthetic_length: int = 256  # videos in the synthetic dataset
+
+
+@dataclasses.dataclass
+class RuntimeConfig:
+    """Logging / eval / distributed flags (reference opts.py:112-147)."""
+
+    logdir: str = ""
+    print_freq: int = 100
+    show_model: bool = False
+    evaluate: bool = False
+    lazy_eval: bool = False
+    after_softmax: bool = False
+    pred_files: List[str] = dataclasses.field(default_factory=list)
+    pred_weights: Optional[List[float]] = None
+    sync_bn: bool = False
+    world_size: int = 1
+    rank: int = 0
+    dist_url: str = ""
+    hostfile: str = ""
+    multiprocessing_distributed: bool = False
+    resume: str = ""
+    auto_resume: bool = False
+    pretrained: Optional[str] = None
+    unimodality_pretrained: List[str] = dataclasses.field(default_factory=list)
+    # TPU mesh shape: data-parallel x model-parallel. model=1 reproduces the
+    # reference's pure DP (SURVEY.md section 2.2).
+    mesh_data: int = -1  # -1: all devices
+    mesh_model: int = 1
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
+
+
+def arg_parser() -> argparse.ArgumentParser:
+    """CLI flags, names matching the reference parser (reference opts.py:5-149)."""
+    p = argparse.ArgumentParser(description="TPU-native AdaMML training")
+
+    # model
+    p.add_argument("--backbone_net", default="adamml", type=str,
+                   choices=["adamml", "resnet", "sound_mobilenet_v2"])
+    p.add_argument("-d", "--depth", default=50, type=int,
+                   choices=[18, 34, 50, 101, 152])
+    p.add_argument("--dropout", default=0.5, type=float)
+    p.add_argument("--groups", default=8, type=int)
+    p.add_argument("--num_segments", default=1, type=int)
+    p.add_argument("--frames_per_group", default=1, type=int)
+    p.add_argument("--without_t_stride", action="store_true")
+    p.add_argument("--pooling_method", default="max", choices=["avg", "max"])
+    p.add_argument("--fusion_point", default="logits", choices=["fc2", "logits"])
+    p.add_argument("--prefix", default="", type=str)
+    p.add_argument("--learnable_lf_weights", action="store_true")
+    p.add_argument("--causality_modeling", default=None, type=str,
+                   choices=[None, "lstm"])
+    p.add_argument("--cost_weights", default=None, type=float, nargs="+")
+    p.add_argument("--rng_policy", action="store_true")
+    p.add_argument("--rng_threshold", type=float, default=0.5)
+    p.add_argument("--gammas", default=10.0, type=float)
+    p.add_argument("--penalty_type", default="blockdrop", choices=["mean", "blockdrop"])
+
+    # training
+    p.add_argument("-b", "--batch-size", dest="batch_size", default=72, type=int)
+    p.add_argument("--lr", "--learning-rate", dest="lr", default=0.01, type=float)
+    p.add_argument("--p_lr", "--p_learning-rate", dest="p_lr", default=0.01, type=float)
+    p.add_argument("--lr_scheduler", default="cosine",
+                   choices=["step", "multisteps", "cosine", "plateau"])
+    p.add_argument("--lr_steps", default=[15, 30, 45], type=float, nargs="+")
+    p.add_argument("--momentum", default=0.9, type=float)
+    p.add_argument("--nesterov", action="store_true")
+    p.add_argument("--weight-decay", "--wd", dest="weight_decay", default=1e-4, type=float)
+    p.add_argument("--epochs", default=50, type=int)
+    p.add_argument("--warmup_epochs", default=5, type=int)
+    p.add_argument("--finetune_epochs", default=10, type=int)
+    p.add_argument("--resume", default="", type=str)
+    p.add_argument("--auto_resume", action="store_true")
+    p.add_argument("--pretrained", default=None, type=str)
+    p.add_argument("--unimodality_pretrained", type=str, nargs="+", default=[])
+    p.add_argument("--start-epoch", dest="start_epoch", default=0, type=int)
+    p.add_argument("--clip_gradient", "--cg", dest="clip_gradient", default=None, type=float)
+    p.add_argument("--curr_stage", default="warmup",
+                   choices=["warmup", "alternative_training", "finetune"])
+
+    # data
+    p.add_argument("-j", "--workers", default=18, type=int)
+    p.add_argument("--datadir", nargs="+", type=str, default=[])
+    p.add_argument("--dataset", default="kinetics-sounds",
+                   choices=list(DATASET_CONFIG.keys()))
+    p.add_argument("--threed_data", action="store_true")
+    p.add_argument("--input_size", default=224, type=int)
+    p.add_argument("--disable_scaleup", action="store_true")
+    p.add_argument("--random_sampling", action="store_true")
+    p.add_argument("--dense_sampling", action="store_true")
+    p.add_argument("--augmentor_ver", default="v2", choices=["v1", "v2"])
+    p.add_argument("--scale_range", default=[256, 320], type=int, nargs="+")
+    p.add_argument("--modality", default=["rgb"], type=str, nargs="+",
+                   choices=list(MODALITIES))
+    p.add_argument("--mean", type=float, nargs="+", default=None)
+    p.add_argument("--std", type=float, nargs="+", default=None)
+    p.add_argument("--skip_normalization", action="store_true")
+    p.add_argument("--fps", type=float, default=29.97)
+    p.add_argument("--audio_length", type=float, default=1.28)
+    p.add_argument("--resampling_rate", type=float, default=24000)
+    p.add_argument("--synthetic_length", type=int, default=256)
+    p.add_argument("--disable_native_decoder", action="store_true")
+
+    # logging
+    p.add_argument("--logdir", default="", type=str)
+    p.add_argument("--print-freq", dest="print_freq", default=100, type=int)
+    p.add_argument("--show_model", action="store_true")
+
+    # eval
+    p.add_argument("-e", "--evaluate", action="store_true")
+    p.add_argument("--num_crops", default=1, type=int, choices=[1, 3, 5, 10])
+    p.add_argument("--num_clips", default=1, type=int)
+    p.add_argument("--val_num_clips", default=10, type=int)
+    p.add_argument("--pred_files", type=str, nargs="+", default=[])
+    p.add_argument("--pred_weights", type=float, nargs="+", default=None)
+    p.add_argument("--after_softmax", action="store_true")
+    p.add_argument("--lazy_eval", action="store_true")
+
+    # distributed
+    p.add_argument("--sync-bn", dest="sync_bn", action="store_true")
+    p.add_argument("--world-size", dest="world_size", default=1, type=int)
+    p.add_argument("--rank", default=0, type=int)
+    p.add_argument("--dist-url", dest="dist_url", default="", type=str)
+    p.add_argument("--hostfile", default="", type=str)
+    p.add_argument("--mesh_data", default=-1, type=int)
+    p.add_argument("--mesh_model", default=1, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
+    from .dataset_config import get_dataset_config
+
+    meta = get_dataset_config(args.dataset)
+    model = ModelConfig(
+        backbone_net=args.backbone_net, depth=args.depth, dropout=args.dropout,
+        groups=args.groups, num_segments=args.num_segments,
+        frames_per_group=args.frames_per_group,
+        without_t_stride=args.without_t_stride,
+        pooling_method=args.pooling_method, fusion_point=args.fusion_point,
+        prefix=args.prefix, learnable_lf_weights=args.learnable_lf_weights,
+        causality_modeling=args.causality_modeling, cost_weights=args.cost_weights,
+        rng_policy=args.rng_policy, rng_threshold=args.rng_threshold,
+        gammas=args.gammas, penalty_type=args.penalty_type,
+        modality=list(args.modality), num_classes=meta.num_classes,
+        compute_dtype=args.compute_dtype,
+    )
+    optim = OptimConfig(
+        batch_size=args.batch_size, lr=args.lr, p_lr=args.p_lr,
+        lr_scheduler=args.lr_scheduler, lr_steps=list(args.lr_steps),
+        momentum=args.momentum, nesterov=args.nesterov,
+        weight_decay=args.weight_decay, epochs=args.epochs,
+        warmup_epochs=args.warmup_epochs, finetune_epochs=args.finetune_epochs,
+        clip_gradient=args.clip_gradient, curr_stage=args.curr_stage,
+        start_epoch=args.start_epoch,
+    )
+    data = DataConfig(
+        datadir=list(args.datadir), dataset=args.dataset,
+        threed_data=args.threed_data, input_size=args.input_size,
+        disable_scaleup=args.disable_scaleup,
+        random_sampling=args.random_sampling, dense_sampling=args.dense_sampling,
+        augmentor_ver=args.augmentor_ver, scale_range=list(args.scale_range),
+        mean=args.mean, std=args.std, skip_normalization=args.skip_normalization,
+        fps=args.fps, audio_length=args.audio_length,
+        resampling_rate=args.resampling_rate, workers=args.workers,
+        num_crops=args.num_crops, num_clips=args.num_clips,
+        val_num_clips=args.val_num_clips,
+        synthetic_length=args.synthetic_length,
+        use_native_decoder=not args.disable_native_decoder,
+    )
+    runtime = RuntimeConfig(
+        logdir=args.logdir, print_freq=args.print_freq, show_model=args.show_model,
+        evaluate=args.evaluate, lazy_eval=args.lazy_eval,
+        after_softmax=args.after_softmax, pred_files=list(args.pred_files),
+        pred_weights=args.pred_weights, sync_bn=args.sync_bn,
+        world_size=args.world_size, rank=args.rank, dist_url=args.dist_url,
+        hostfile=args.hostfile, resume=args.resume, auto_resume=args.auto_resume,
+        pretrained=args.pretrained,
+        unimodality_pretrained=list(args.unimodality_pretrained),
+        mesh_data=args.mesh_data, mesh_model=args.mesh_model, seed=args.seed,
+    )
+    return ExperimentConfig(model=model, optim=optim, data=data, runtime=runtime)
+
+
+def _network_name(cfg: ExperimentConfig) -> str:
+    m = cfg.model
+    if m.backbone_net == "resnet":
+        name = f"resnet-{m.depth}"
+        if not m.without_t_stride:
+            name += f"-ts-{m.pooling_method}"
+        return name
+    if m.backbone_net == "sound_mobilenet_v2":
+        return "sound_mobilenet_v2"
+    # adamml (reference models/adamml.py:101-109 + policy_net.py:375-379 +
+    # joint_resnet_mobilenetv2.py:74-82)
+    name = "adamml"
+    if m.rng_policy:
+        name += f"-rng-{m.rng_threshold:.1f}"
+    else:
+        name += "-j_mobilenet_v2"
+        if m.causality_modeling:
+            name += f"-{m.causality_modeling}"
+    name += f"-joint_resnet-{m.depth}_mobilenet_v2-{m.fusion_point}"
+    if m.fusion_point == "logits" and m.learnable_lf_weights:
+        name += "-llf"
+    if not m.without_t_stride:
+        name += f"-ts-{m.pooling_method}"
+    return name
+
+
+def arch_name(cfg: ExperimentConfig, test_mode: bool = False) -> str:
+    """Experiment identity string (reference models/model_builder.py:27-37)."""
+    m, o, d, r = cfg.model, cfg.optim, cfg.data, cfg.runtime
+    modality = "-".join(m.modality)
+    name = f"{d.dataset}-{modality}-{_network_name(cfg)}"
+    name += f"-f{m.groups}"
+    if d.dense_sampling:
+        name += f"-s{m.frames_per_group}"
+    if not test_mode:
+        name += "-{}{}-bs{}{}-e{}".format(
+            o.lr_scheduler, "-syncbn" if r.sync_bn else "", o.batch_size,
+            "-" + m.prefix if m.prefix else "", o.epochs)
+    return name

@@ -1,0 +1,173 @@
+"""ResNet TSN backbone in flax (NHWC, frame axis explicit).
+
+Capability twin of the reference 2D ResNet applied per frame with temporal
+max/avg pooling after layers 1-3 (reference models/resnet.py:116-241): with
+8 input frames the pools halve time 3x so the head sees 1 frame. Departures
+from the reference design, for TPU:
+
+  * NHWC layout and bf16 compute / fp32 params (MXU-native) instead of NCHW
+    fp32;
+  * frames are an explicit axis folded into batch around convolutions -- the
+    reshape dance of reference models/resnet.py:178-180 disappears;
+  * BatchNorm optionally reduces over the mesh data axis (sync-BN ==
+    lax.pmean of batch moments; reference train_adamml.py:125-127 uses
+    torch SyncBatchNorm).
+
+Parameter tree is named to make the torchvision/PyTorch checkpoint converter
+(adamml_tpu/ckpt/torch_convert.py) a direct path mapping.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.temporal import temporal_pool
+
+# depth -> (block kind, per-stage counts); reference models/resnet.py:123-129
+RESNET_LAYERS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+class _ConvBN(nn.Module):
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(self.features, self.kernel, self.strides,
+                    padding=[(k // 2, k // 2) for k in self.kernel],
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         axis_name=self.bn_axis_name, name="bn")(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    """reference models/resnet.py:46-74"""
+    planes: int
+    strides: Tuple[int, int] = (1, 1)
+    downsample: bool = False
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        identity = x
+        out = _ConvBN(self.planes, (3, 3), self.strides, self.dtype,
+                      self.bn_axis_name, name="cb1")(x, train)
+        out = nn.relu(out)
+        out = _ConvBN(self.planes, (3, 3), (1, 1), self.dtype,
+                      self.bn_axis_name, name="cb2")(out, train)
+        if self.downsample:
+            identity = _ConvBN(self.planes, (1, 1), self.strides, self.dtype,
+                               self.bn_axis_name, name="downsample")(x, train)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """reference models/resnet.py:77-113"""
+    planes: int
+    strides: Tuple[int, int] = (1, 1)
+    downsample: bool = False
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        identity = x
+        out = nn.relu(_ConvBN(self.planes, (1, 1), (1, 1), self.dtype,
+                              self.bn_axis_name, name="cb1")(x, train))
+        out = nn.relu(_ConvBN(self.planes, (3, 3), self.strides, self.dtype,
+                              self.bn_axis_name, name="cb2")(out, train))
+        out = _ConvBN(self.planes * 4, (1, 1), (1, 1), self.dtype,
+                      self.bn_axis_name, name="cb3")(out, train)
+        if self.downsample:
+            identity = _ConvBN(self.planes * 4, (1, 1), self.strides,
+                               self.dtype, self.bn_axis_name,
+                               name="downsample")(x, train)
+        return nn.relu(out + identity)
+
+
+class ResNetTSN(nn.Module):
+    """Frame-folded 2D ResNet with temporal pooling between stages.
+
+    Input (N, F, H, W, C); `__call__` returns frame-averaged logits (N, K),
+    `features=True` returns the final conv map (N, F_out, h, w, c).
+    """
+
+    depth: int = 50
+    num_classes: int = 1000
+    dropout: float = 0.5
+    without_t_stride: bool = False
+    pooling_method: str = "max"
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @property
+    def feature_dim(self) -> int:
+        return 2048 if self.depth >= 50 else 512
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, features: bool = False):
+        kind, layers = RESNET_LAYERS[self.depth]
+        block = BasicBlock if kind == "basic" else Bottleneck
+        expansion = 1 if kind == "basic" else 4
+
+        n, f, h, w, c = x.shape
+        x = x.astype(self.dtype)
+
+        def fold(t):
+            return t.reshape((t.shape[0] * t.shape[1],) + t.shape[2:])
+
+        def unfold(t, frames):
+            return t.reshape((-1, frames) + t.shape[1:])
+
+        x = fold(x)
+        # stem (reference models/resnet.py:138-141)
+        x = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         axis_name=self.bn_axis_name, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        cur_frames = f
+        inplanes = 64
+        for stage, blocks in enumerate(layers):
+            planes = 64 * (2 ** stage)
+            strides = (1, 1) if stage == 0 else (2, 2)
+            for b in range(blocks):
+                needs_ds = (b == 0 and
+                            (strides != (1, 1) or inplanes != planes * expansion))
+                x = block(planes, strides if b == 0 else (1, 1), needs_ds,
+                          self.dtype, self.bn_axis_name,
+                          name=f"layer{stage + 1}_{b}")(x, train)
+                inplanes = planes * expansion
+            # temporal pooling after layers 1-3 (reference models/resnet.py:145-154)
+            if stage < 3 and not self.without_t_stride and cur_frames > 1:
+                x = unfold(x, cur_frames)
+                x = temporal_pool(x, 3, 2, self.pooling_method)
+                cur_frames = x.shape[1]
+                x = fold(x)
+
+        if features:
+            return unfold(x, cur_frames)
+
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(x)
+        x = unfold(x, cur_frames)  # (N, F_out, K)
+        return jnp.mean(x, axis=1).astype(jnp.float32)

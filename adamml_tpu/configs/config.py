@@ -69,6 +69,8 @@ class ModelConfig:
     penalty_type: str = "blockdrop"  # 'mean' | 'blockdrop'
     modality: List[str] = dataclasses.field(default_factory=lambda: ["rgb"])
     num_classes: int = 31
+    # policy-stream resolution (reference models/adamml.py:42 p_rgb_size)
+    policy_input_size: int = 160
     # TPU-specific knobs (no reference equivalent): compute precision.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"

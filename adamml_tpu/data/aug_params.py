@@ -1,0 +1,91 @@
+"""Host-side sampling of augmentation parameters.
+
+The device op (ops/augment.py) applies one crop rectangle + flip flag per
+sample per modality; this module draws those parameters with the same
+distributions as the reference transforms:
+
+  v2 train: random short-side scale in scale_range + random crop
+            (reference utils/utils.py:131-135; GroupRandomScale at
+            utils/video_transforms.py:102-119, GroupRandomCrop at :9-33)
+  v1 train: TSN GroupMultiScaleCrop with scales [1, .875, .75, .66],
+            max_distort 1, 13 fixed offsets
+            (reference utils/utils.py:127-130, video_transforms.py:181-252)
+  val:      short side -> round(input/0.875), center crop
+            (reference utils/utils.py:138-142)
+
+Flip probability 0.5 at train (reference video_transforms.py:44-59).
+Rectangles are (x, y, w, h) in source-pixel coordinates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+MULTISCALE_SCALES = (1.0, 0.875, 0.75, 0.66)
+MAX_DISTORT = 1
+
+
+def _fixed_offsets(image_w: int, image_h: int, crop_w: int, crop_h: int):
+    """13 fixed crop anchors (reference video_transforms.py:229-252)."""
+    w_step = (image_w - crop_w) // 4
+    h_step = (image_h - crop_h) // 4
+    ret = [(0, 0), (4 * w_step, 0), (0, 4 * h_step),
+           (4 * w_step, 4 * h_step), (2 * w_step, 2 * h_step),
+           (0, 2 * h_step), (4 * w_step, 2 * h_step),
+           (2 * w_step, 4 * h_step), (2 * w_step, 0),
+           (1 * w_step, 1 * h_step), (3 * w_step, 1 * h_step),
+           (1 * w_step, 3 * h_step), (3 * w_step, 3 * h_step)]
+    return ret
+
+
+def _multiscale_crop(h: int, w: int, input_size: int,
+                     rng: np.random.RandomState) -> Tuple[float, float, float, float]:
+    base = min(w, h)
+    crop_sizes = [int(base * s) for s in MULTISCALE_SCALES]
+    # snap near-input sizes to the input size (reference :207-208)
+    crop_hs = [input_size if abs(x - input_size) < 3 else x for x in crop_sizes]
+    crop_ws = [input_size if abs(x - input_size) < 3 else x for x in crop_sizes]
+    pairs = [(cw, ch) for i, ch in enumerate(crop_hs)
+             for j, cw in enumerate(crop_ws) if abs(i - j) <= MAX_DISTORT]
+    cw, ch = pairs[rng.randint(len(pairs))]
+    offsets = _fixed_offsets(w, h, cw, ch)
+    ox, oy = offsets[rng.randint(len(offsets))]
+    return float(ox), float(oy), float(cw), float(ch)
+
+
+def sample_crop_flip(hw: np.ndarray, *, input_size: int, train: bool,
+                     version: str = "v2",
+                     scale_range: Sequence[int] = (256, 320),
+                     disable_scaleup: bool = False,
+                     rng: Optional[np.random.RandomState] = None
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """hw: (N, 2) true image (h, w) per sample.
+    Returns (crop_xywh (N, 4) float32, flip (N,) bool)."""
+    rng = np.random if rng is None else rng
+    n = hw.shape[0]
+    crops = np.zeros((n, 4), np.float32)
+    flips = np.zeros((n,), bool)
+    for i in range(n):
+        h, w = int(hw[i, 0]), int(hw[i, 1])
+        if train and version == "v1":
+            crops[i] = _multiscale_crop(h, w, input_size, rng)
+            flips[i] = rng.random_sample() < 0.5
+        elif train:
+            s = rng.randint(scale_range[0], scale_range[1] + 1)
+            f = s / min(h, w)
+            crop_src = input_size / f
+            x1 = rng.random_sample() * max(0.0, w - crop_src)
+            y1 = rng.random_sample() * max(0.0, h - crop_src)
+            crops[i] = (x1, y1, crop_src, crop_src)
+            flips[i] = rng.random_sample() < 0.5
+        else:
+            scaled = input_size if disable_scaleup else int(
+                input_size / 0.875 + 0.5)
+            f = scaled / min(h, w)
+            crop_src = input_size / f
+            x1 = max(0.0, (w - crop_src) / 2.0)
+            y1 = max(0.0, (h - crop_src) / 2.0)
+            crops[i] = (x1, y1, crop_src, crop_src)
+    return crops, flips

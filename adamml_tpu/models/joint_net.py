@@ -1,0 +1,98 @@
+"""Main (recognition) network: per-modality backbones + late fusion.
+
+Capability twin of the reference joint net (reference
+models/joint_resnet_mobilenetv2.py:11-128): ResNet TSN for visual modalities,
+MobileNetV2 for sound spectrograms; fusion either at `logits` (per-modality
+class logits, decision-masked, mean or learnable-weighted sum) or at `fc2`
+(feature concat -> 2-layer MLP -> classifier; no decision support).
+
+The learnable late-fusion weight is a length M-1 parameter initialized to
+1/M whose complement makes the weights sum to 1 (reference
+joint_resnet_mobilenetv2.py:60-64,115-125).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .mobilenet_v2 import MobileNetV2
+from .resnet_tsn import ResNetTSN
+
+JOINT_DIM = 2048  # reference joint_resnet_mobilenetv2.py:53
+
+
+class JointMainNet(nn.Module):
+    """Inputs: list of per-modality arrays (B, F, H, W, C) with segments
+    already folded into B (sound: (B, 1, 256, 256, 1)); optional decisions
+    (M, B). Returns logits (B, num_classes) float32."""
+
+    modality: Tuple[str, ...]
+    depth: int = 50
+    num_classes: int = 1000
+    dropout: float = 0.5
+    without_t_stride: bool = False
+    pooling_method: str = "max"
+    fusion_point: str = "logits"
+    learnable_lf_weights: bool = False
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    def _backbone(self, m: str):
+        if m != "sound":
+            return ResNetTSN(depth=self.depth, num_classes=self.num_classes,
+                             dropout=self.dropout,
+                             without_t_stride=self.without_t_stride,
+                             pooling_method=self.pooling_method,
+                             dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                             name=f"net_{m}")
+        return MobileNetV2(num_classes=self.num_classes, dropout=self.dropout,
+                           dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                           name=f"net_{m}")
+
+    @nn.compact
+    def __call__(self, m_x: Sequence[jax.Array],
+                 decisions: Optional[jax.Array] = None,
+                 train: bool = False):
+        b = m_x[0].shape[0]
+        if self.fusion_point == "logits":
+            outs = []
+            for i, m in enumerate(self.modality):
+                logit = self._backbone(m)(m_x[i], train=train)  # (B, K)
+                if decisions is not None:
+                    # mask at logits; backbones always run (reference
+                    # joint_resnet_mobilenetv2.py:92-94)
+                    logit = logit * decisions[i][:, None]
+                outs.append(logit)
+            out = jnp.stack(outs, axis=0)  # (M, B, K)
+            if self.learnable_lf_weights:
+                lf = self.param(
+                    "lf_weights",
+                    lambda _key, shape: jnp.full(shape, 1.0 / len(self.modality),
+                                                 jnp.float32),
+                    (len(self.modality) - 1,))
+                weights = jnp.concatenate(
+                    [lf, (1.0 - jnp.sum(lf))[None]], axis=0)
+                return jnp.sum(out * weights[:, None, None], axis=0)
+            return jnp.mean(out, axis=0)
+
+        # fc2 fusion (reference joint_resnet_mobilenetv2.py:99-110)
+        if decisions is not None:
+            raise ValueError("decision masking only supports logits fusion")
+        feats = []
+        for i, m in enumerate(self.modality):
+            net = self._backbone(m)
+            f = net(m_x[i], train=train, features=True)
+            if m != "sound":
+                f = jnp.mean(f, axis=(2, 3))  # spatial avgpool -> (B, F_out, C)
+            f = jnp.mean(f, axis=1)  # frame collapse (F_out == 1 in ref configs)
+            feats.append(f)
+        out = jnp.concatenate(feats, axis=-1).astype(self.dtype)
+        out = nn.relu(nn.Dense(JOINT_DIM, dtype=self.dtype, name="joint_fc1")(out))
+        out = nn.relu(nn.Dense(JOINT_DIM, dtype=self.dtype, name="joint_fc2")(out))
+        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        out = nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(out)
+        return out.astype(jnp.float32)

@@ -38,10 +38,13 @@ def _one_sample(frames, crop_xywh, flip, out_size, mean, std, invert_x_on_flip):
     scale_x = out_size / cw
     scale = jnp.stack([scale_y, scale_x])
     translation = jnp.stack([-y0 * scale_y, -x0 * scale_x])
+    # antialias=True: PIL's BILINEAR resampler (the reference interpolator,
+    # torchvision Resize -> PIL) is an antialiased triangle filter, so
+    # minification must widen the kernel by the scale ratio to match.
     out = jax.image.scale_and_translate(
         frames.astype(jnp.float32), (t, out_size, out_size, c),
         spatial_dims=(1, 2), scale=scale, translation=translation,
-        method="linear", antialias=False)
+        method="linear", antialias=True)
     flipped = out[:, :, ::-1, :]
     if invert_x_on_flip is not None:
         # flow x-channels invert their pixel values when flipped
@@ -98,7 +101,9 @@ def rgbdiff_from_frames(frames: jax.Array) -> jax.Array:
     a = frames[..., 1:, :, :, :].astype(jnp.float32)
     b = frames[..., :-1, :, :, :].astype(jnp.float32)
     diff = (a - b + 255.0) * (255.0 / 510.0)
-    return diff.astype(jnp.uint8)
+    # floor before the cast: XLA float->int converts round-to-nearest, but
+    # the reference's numpy astype(np.uint8) truncates
+    return jnp.floor(diff).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "stride"))

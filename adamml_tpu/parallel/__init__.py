@@ -1,0 +1,4 @@
+from .mesh import make_mesh, shard_batch, replicate, param_shardings, batch_spec
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "param_shardings",
+           "batch_spec"]

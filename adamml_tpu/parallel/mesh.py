@@ -1,0 +1,82 @@
+"""Device mesh + sharding rules.
+
+The reference's distribution stack is one-process-per-GPU NCCL DDP with
+explicit metric all_reduce and opt-in SyncBN (reference train_adamml.py:54-60,
+83-84, 125-129; utils/utils.py:228-233, 539-550). The TPU-native equivalent
+is a jax.sharding Mesh with GSPMD jit:
+
+  * mesh axes ('data', 'model'): batches shard over 'data' (pure DP
+    reproduces the reference; SURVEY.md section 2.2 -- the models fit
+    per-chip so 'model' defaults to 1, but wide Dense kernels carry a
+    PartitionSpec over 'model' so tensor-parallel runs compile when
+    mesh_model > 1);
+  * gradient all-reduce falls out of replicated params (XLA inserts psum
+    over 'data' at the jit boundary);
+  * BN moments / losses / metrics are global batch reductions under jit --
+    the semantic superset of the reference's SyncBN and metric all_reduce;
+  * eval gathering (reference concat_all_gather, utils/utils.py:539-550) is
+    just fetching the globally-sharded jit output; multi-process hosts use
+    multihost_utils.process_allgather.
+
+Multi-host: call jax.distributed.initialize (coordinator = hostfile master
+analog, reference train_adamml.py:40-50) before make_mesh; the mesh then
+spans all processes' devices, ICI within a slice and DCN across slices.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = len(devices)
+    if data == -1:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_spec() -> P:
+    return P("data")
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place host arrays with the leading axis sharded over 'data'."""
+    def put(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, batch)
+
+
+# parameter paths whose kernels are worth sharding over the 'model' axis
+# (the wide layers: joint MLPs, classifier heads, LSTM input projection)
+_TP_KEYS = ("joint_fc1", "joint_fc2", "fc", "classifier", "ih", "hh")
+
+
+def _spec_for_param(path, leaf) -> P:
+    names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+    if leaf.ndim == 2 and any(k in names for k in _TP_KEYS):
+        return P(None, "model")  # column-parallel kernel
+    return P()
+
+
+def param_shardings(mesh: Mesh, tree):
+    """NamedShardings: replicated by default, wide kernels column-sharded
+    over 'model' (no-op when mesh_model == 1)."""
+    def to_sharding(path, leaf):
+        return NamedSharding(mesh, _spec_for_param(path, leaf))
+    return jax.tree_util.tree_map_with_path(to_sharding, tree)
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree on the mesh with the param sharding rules applied."""
+    shardings = param_shardings(mesh, tree)
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)

@@ -1,0 +1,148 @@
+"""Epoch engines: the glue between loaders, jitted steps, and metrics.
+
+Functional twins of the reference loops (reference utils/utils.py:187-265
+train, :268-317 validate, :319-424 train_adamml, :427-507 validate_adamml)
+minus their per-iteration host work: metric math runs on device inside the
+step, and the loader prefetches while the device computes.
+
+Eval accuracy follows the reference contract: per-batch running top-1/top-5
+for logging, and the FINAL numbers computed over the fully gathered
+(all-rank) logits matrix via actnet_acc (reference utils/utils.py:483-497),
+plus selection rates and modeled GFLOPs (utils/utils.py:502).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..utils.flops import flops_computation
+from ..utils.meters import AverageMeter
+from ..utils.metrics import actnet_acc
+
+
+def _host(x):
+    return np.asarray(jax.device_get(x))
+
+
+def train_epoch(loader, preprocess: Callable, step_fn: Callable, state,
+                *, lr: float, p_lr: float = 0.0,
+                cost_weights: Optional[Sequence[float]] = None,
+                rng: Optional[jax.Array] = None, epoch: int = 0,
+                modality: Optional[Sequence[str]] = None,
+                adamml: bool = True, display: int = 100, rank: int = 0,
+                logger=None, steps_per_epoch: int = 10**12):
+    """One training epoch. Returns (state, summary dict)."""
+    batch_time, data_time = AverageMeter(), AverageMeter()
+    losses, top1, top5 = AverageMeter(), AverageMeter(), AverageMeter()
+    modality = list(modality or [])
+    selection = {m: AverageMeter() for m in modality}
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    loader.set_epoch(epoch)
+
+    import jax.numpy as jnp
+    cw = jnp.asarray(cost_weights if cost_weights is not None
+                     else [0.0] * max(1, len(modality)), jnp.float32)
+    lr_a = jnp.asarray(lr, jnp.float32)
+    p_lr_a = jnp.asarray(p_lr, jnp.float32)
+
+    end = time.time()
+    num_batch = 0
+    for i, host_batch in enumerate(loader):
+        data_time.update(time.time() - end)
+        inputs, target = preprocess(host_batch)
+        n = int(target.shape[0])
+        if adamml:
+            state, metrics = step_fn(state, inputs, target, lr_a, p_lr_a,
+                                     cw, rng)
+        else:
+            state, metrics = step_fn(state, inputs, target, lr_a, rng)
+        metrics = jax.device_get(metrics)
+        losses.update(float(metrics["loss"]), n)
+        top1.update(float(metrics["top1"]), n)
+        top5.update(float(metrics["top5"]), n)
+        if adamml and modality:
+            sel = np.asarray(metrics["selection"])
+            for mi, m in enumerate(modality):
+                selection[m].update(float(sel[mi]))
+        batch_time.update(time.time() - end)
+        end = time.time()
+        num_batch += 1
+        if i % display == 0 and rank == 0 and logger is not None:
+            sel_msg = " ".join(f"{m}:{v.avg * 100:.2f}"
+                               for m, v in selection.items())
+            logger.log(
+                f"Epoch: [{epoch}][{i}/{len(loader)}]\t"
+                f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
+                f"Data {data_time.val:.3f} ({data_time.avg:.3f})\t"
+                f"Loss {losses.val:.4f} ({losses.avg:.4f})\t"
+                f"Prec@1 {top1.val:.3f} ({top1.avg:.3f})\t"
+                f"Prec@5 {top5.val:.3f} ({top5.avg:.3f})\t"
+                + (f"Selection: {sel_msg}" if sel_msg else ""))
+        if i > steps_per_epoch:
+            break
+
+    summary = {"top1": top1.avg, "top5": top5.avg, "loss": losses.avg,
+               "batch_time": batch_time.avg, "data_time": data_time.avg,
+               "num_batch": num_batch,
+               "selection": {m: v.avg for m, v in selection.items()}}
+    return state, summary
+
+
+def validate(loader, preprocess: Callable, eval_step: Callable, state,
+             *, rng: Optional[jax.Array] = None,
+             modality: Optional[Sequence[str]] = None, adamml: bool = True,
+             num_segments: int = 10):
+    """Full validation pass. Returns a summary dict including the gathered
+    outputs / selections (reference validate_adamml contract,
+    utils/utils.py:427-507)."""
+    batch_time, losses = AverageMeter(), AverageMeter()
+    modality = list(modality or [])
+    selection = {m: AverageMeter() for m in modality}
+    rng = jax.random.PRNGKey(1) if rng is None else rng
+
+    all_logits: List[np.ndarray] = []
+    all_targets: List[np.ndarray] = []
+    all_selections: List[np.ndarray] = []
+    end = time.time()
+    for host_batch in loader:
+        inputs, target = preprocess(host_batch)
+        n = int(target.shape[0])
+        if adamml:
+            logits, decisions, loss = eval_step(state, inputs, target, rng)
+            dec = _host(decisions)
+            all_selections.append(dec)
+            sel = dec.mean(axis=(0, 1))
+            for mi, m in enumerate(modality):
+                selection[m].update(float(sel[mi]))
+        else:
+            logits, loss = eval_step(state, inputs, target, rng)
+        losses.update(float(jax.device_get(loss)), n)
+        all_logits.append(_host(logits))
+        all_targets.append(_host(target))
+        batch_time.update(time.time() - end)
+        end = time.time()
+
+    logits = np.concatenate(all_logits, axis=0)
+    targets = np.concatenate(all_targets, axis=0)
+    if jax.process_count() > 1:  # multi-host: gather the full eval matrix
+        from jax.experimental import multihost_utils
+
+        logits = np.asarray(multihost_utils.process_allgather(logits))
+        logits = logits.reshape(-1, logits.shape[-1])
+        targets = np.asarray(multihost_utils.process_allgather(targets))
+        targets = targets.reshape(-1, *targets.shape[2:]) \
+            if targets.ndim > 2 else targets.reshape(-1)
+    (t1, t5), mAP = actnet_acc(logits, targets)
+
+    out = {"top1": t1, "top5": t5, "mAP": mAP, "loss": losses.avg,
+           "batch_time": batch_time.avg, "outputs": logits,
+           "selection": {m: v.avg for m, v in selection.items()}}
+    if adamml:
+        out["all_selections"] = np.concatenate(all_selections, axis=0)
+        out["flops"] = flops_computation(
+            modality, {m: v.avg for m, v in selection.items()}, num_segments)
+    return out

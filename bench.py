@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Benchmark: AdaMML flagship training throughput on one TPU chip.
+
+Measures clips(videos)/sec/chip for the canonical AdaMML RGB+sound training
+step (reference README.md:86-95: ResNet-50 TSN + MobileNetV2 audio, 5
+segments x 8 frames, LSTM policy, blockdrop loss, both optimizers) on
+synthetic device-resident inputs -- the same step the curriculum driver runs.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md), so
+the comparison point is modeled from its own analytic cost table
+(reference utils/utils.py:510-535): 76.39 GFLOPs/video forward at 100%
+selection, x3 for fwd+bwd, executed in fp32 on a V100 (15.7 TFLOP/s peak)
+at a generous 40% MFU -> 27.4 videos/sec/chip. vs_baseline is measured
+throughput divided by that estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# reference cost model: GFLOPs/video fwd at full selection (BASELINE.md)
+REF_FWD_GFLOPS = 76.39
+REF_PEAK_TFLOPS_FP32 = 15.7  # V100
+REF_MFU = 0.40
+BASELINE_VIDEOS_PER_SEC = (REF_PEAK_TFLOPS_FP32 * 1e12 * REF_MFU) / (
+    REF_FWD_GFLOPS * 1e9 * 3.0)
+
+V5E_PEAK_TFLOPS_BF16 = 197.0
+
+
+def main() -> int:
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    from __graft_entry__ import _flagship_cfg
+    from adamml_tpu.models.model_builder import (build_model, example_inputs,
+                                                 init_model)
+    from adamml_tpu.train.optim import build_optimizer
+    from adamml_tpu.train.steps import make_adamml_train_step
+    from adamml_tpu.train.train_state import AdaMMLTrainState, StageFlags
+
+    cfg = _flagship_cfg()
+    model, _ = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    inputs = example_inputs(cfg, batch=batch, num_segments=5, rng=rng)
+    inputs = [x.astype(jnp.bfloat16) for x in inputs]
+    variables = init_model(model, cfg, inputs, rng, train=True)
+    params = dict(variables["params"])
+    tx_main = build_optimizer("main", cfg.optim)
+    tx_policy = build_optimizer("policy", cfg.optim)
+    state = AdaMMLTrainState.create(
+        params, variables.get("batch_stats", {}),
+        tx_main.init(params["main_net"]), tx_policy.init(params["policy_net"]))
+
+    # benchmark the policy-phase step: it is the most expensive (both loss
+    # terms, grads through policy AND main graphs)
+    step = make_adamml_train_step(
+        model, tx_main, tx_policy, flags=StageFlags.policy_phase(),
+        penalty_type="blockdrop", gammas=10.0, clip_gradient=None,
+        has_policy_params=True)
+    target = jnp.zeros((batch,), jnp.int32)
+    lr = jnp.asarray(1e-3)
+    p_lr = jnp.asarray(1e-2)
+    cw = jnp.asarray([1.0, 0.05])
+
+    # warmup / compile
+    state, metrics = step(state, inputs, target, lr, p_lr, cw, rng)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, inputs, target, lr, p_lr, cw,
+                              jax.random.fold_in(rng, i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    videos_per_sec = batch * steps / dt
+    train_flops_per_video = REF_FWD_GFLOPS * 1e9 * 3.0
+    mfu = (videos_per_sec * train_flops_per_video) / (
+        V5E_PEAK_TFLOPS_BF16 * 1e12)
+    result = {
+        "metric": "adamml_train_clips_per_sec_per_chip",
+        "value": round(videos_per_sec, 3),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(videos_per_sec / BASELINE_VIDEOS_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    print(f"# batch={batch} steps={steps} step_time={dt / steps * 1000:.1f}ms "
+          f"modeled-MFU~{mfu * 100:.1f}% "
+          f"baseline_est={BASELINE_VIDEOS_PER_SEC:.1f} clips/s (V100 fp32 "
+          f"@40% MFU on the reference's own FLOPs model)", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -3,14 +3,27 @@
 Multi-host/multi-chip logic is tested on one host via
 xla_force_host_platform_device_count (SURVEY.md section 4's substitute for the
 reference's nonexistent distributed tests).
+
+The axon TPU environment pre-sets JAX_PLATFORMS=axon and its sitecustomize
+re-asserts it at interpreter start, so the env var alone is not enough; we
+also update jax.config before any backend is touched.
 """
 
 import os
 
-# Must run before jax initializes.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: XLA:CPU compiles dominate test time on 1-core CI
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+assert jax.default_backend() == "cpu"
+assert len(jax.devices()) == 8

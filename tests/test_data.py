@@ -1,0 +1,290 @@
+import os
+
+import numpy as np
+import pytest
+
+from adamml_tpu.data.samplers import (random_clip, sample_train_clip,
+                                      sample_val_test_clip)
+from adamml_tpu.data.records import parse_list_file
+from adamml_tpu.data.aug_params import sample_crop_flip
+from adamml_tpu.data.loaders import extract_audio_window, read_wav
+from adamml_tpu.data.records import VideoRecord
+from adamml_tpu.data.synthetic import SyntheticVideoDataset
+from adamml_tpu.data.dataflow import HostDataLoader
+
+
+class TestSamplers:
+    def test_random_clip_fixed_offset_golden(self):
+        # reference utils/video_dataset.py:24-28: offset = (V - r*f)//2
+        idx = random_clip(100, 2, 8, fixed_offset=True)
+        start = (100 - 16) // 2
+        np.testing.assert_array_equal(idx, start + 2 * np.arange(8))
+
+    def test_random_clip_short_video_wraps(self):
+        idx = random_clip(5, 2, 8)
+        assert idx.max() < 5  # modulo wrap
+        assert idx[0] == 0    # highest_idx <= 0 -> offset 0
+
+    def test_train_dense_multi_clip_ranges(self):
+        rng = np.random.RandomState(0)
+        idx = sample_train_clip(300, 1, 8, 2, dense_sampling=True,
+                                num_clips=3, rng=rng)
+        assert idx.shape == (24,)
+        assert idx.min() >= 1
+        # each clip starts within its own segment window
+        max_start = 300 - 2 * 8
+        per_seg = max_start // 3
+        starts = idx.reshape(3, 8)[:, 0]
+        for i, s in enumerate(starts):
+            assert i * per_seg + 1 <= s <= (i + 1) * per_seg + 1
+
+    def test_train_uniform_sorted_and_spaced(self):
+        rng = np.random.RandomState(1)
+        idx = sample_train_clip(160, 1, 8, 2, dense_sampling=False, rng=rng)
+        assert idx.shape == (16,)
+        assert (np.diff(idx) >= 0).all()
+        assert idx.max() <= 160
+
+    def test_val_dense_fixed_offset_golden(self):
+        """Deterministic linspace starts (reference
+        utils/video_dataset.py:177-184)."""
+        idx = sample_val_test_clip(300, 1, 8, 2, dense_sampling=True,
+                                   fixed_offset=True, num_clips=3)
+        max_frame_idx = 300
+        sample_pos = max(1, 1 + max_frame_idx - 16)
+        starts = np.linspace(0, sample_pos - 1, num=3, dtype=int)
+        expected = []
+        for s in starts:
+            expected += [(i * 2 + s) % max_frame_idx for i in range(8)]
+        np.testing.assert_array_equal(idx, np.asarray(expected) + 1)
+
+    def test_val_uniform_fixed_offset_deterministic(self):
+        a = sample_val_test_clip(100, 1, 4, 1, dense_sampling=False,
+                                 fixed_offset=True, num_clips=3)
+        b = sample_val_test_clip(100, 1, 4, 1, dense_sampling=False,
+                                 fixed_offset=True, num_clips=3)
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (12,)
+
+    def test_consecutive_frames_reduce_range(self):
+        idx = sample_val_test_clip(50, 5, 8, 1, dense_sampling=True,
+                                   fixed_offset=True, num_clips=2)
+        # max_frame_idx = 50 - 5 + 1 = 46; +5 consecutive stays <= 50
+        assert idx.max() <= 46
+
+
+class TestRecords:
+    def test_parse_single_label(self, tmp_path):
+        f = tmp_path / "list.txt"
+        f.write_text("vid_a;1;100;3\nvid_b;1;50;7\n")
+        recs, multi = parse_list_file(str(f), separator=";")
+        assert not multi
+        assert recs[0].num_frames == 100
+        assert recs[1].label == 7
+
+    def test_parse_multi_label(self, tmp_path):
+        f = tmp_path / "list.txt"
+        f.write_text("a;1;10;1;2;3\nb;1;10;4;5;6\n")
+        recs, multi = parse_list_file(str(f), separator=";")
+        assert multi
+        assert recs[0].label == [1.0, 2.0, 3.0]
+
+    def test_filter_video(self, tmp_path):
+        f = tmp_path / "list.txt"
+        f.write_text("a;1;100;1\nb;1;5;2\n")
+        recs, _ = parse_list_file(str(f), separator=";", filter_video=10)
+        assert len(recs) == 1
+
+    def test_rgbdiff_drops_last_frame(self, tmp_path):
+        f = tmp_path / "list.txt"
+        f.write_text("a;1;100;1\n")
+        recs, _ = parse_list_file(str(f), separator=";", modality="rgbdiff")
+        assert recs[0].end_frame == 99
+
+
+class TestAugParams:
+    def test_val_center_crop(self):
+        hw = np.array([[256, 340]])
+        crops, flips = sample_crop_flip(hw, input_size=224, train=False)
+        x, y, w, h = crops[0]
+        # scaled size 256 -> crop_src = 224 * 256/256 = 224
+        assert w == pytest.approx(224.0)
+        assert x == pytest.approx((340 - 224) / 2)
+        assert y == pytest.approx((256 - 224) / 2)
+        assert not flips.any()
+
+    def test_train_v2_crop_in_bounds(self):
+        rng = np.random.RandomState(0)
+        hw = np.tile([[256, 456]], (64, 1))
+        crops, flips = sample_crop_flip(hw, input_size=224, train=True,
+                                        version="v2", rng=rng)
+        assert (crops[:, 0] + crops[:, 2] <= 456 + 1e-3).all()
+        assert (crops[:, 1] + crops[:, 3] <= 256 + 1e-3).all()
+        # short side 256..320 -> crop_src = 224*256/s in [179.2, 224]
+        assert crops[:, 2].min() >= 179.0
+        assert crops[:, 2].max() <= 224.0
+        assert 0.2 < flips.mean() < 0.8
+
+    def test_train_v1_multiscale_in_bounds(self):
+        rng = np.random.RandomState(1)
+        hw = np.tile([[256, 340]], (64, 1))
+        crops, _ = sample_crop_flip(hw, input_size=224, train=True,
+                                    version="v1", rng=rng)
+        assert (crops[:, 0] + crops[:, 2] <= 340 + 1e-3).all()
+        assert (crops[:, 1] + crops[:, 3] <= 256 + 1e-3).all()
+        sizes = sorted(set(np.round(crops[:, 3]).astype(int).tolist()))
+        # crop sizes come from {256*s} with near-224 snapped to 224
+        for s in sizes:
+            assert s in (224, 168, 192, 256)
+
+
+class TestAudio:
+    def _record(self):
+        return VideoRecord("a", 1, 300, 0)
+
+    def test_window_center(self):
+        sr = 1000
+        samples = np.arange(10000, dtype=np.float32)
+        rec = self._record()
+        # center frame 150 @ 30 fps -> centre_sec ~ 5.03
+        win = extract_audio_window(samples, rec, 150, 30.0, 1.0, sr)
+        assert win.shape == (1000,)
+        centre = int(round((1 + 150) / 30.0 * sr))
+        assert win[0] == pytest.approx(centre - 500, abs=1)
+
+    def test_window_left_clamp(self):
+        sr = 1000
+        samples = np.arange(10000, dtype=np.float32)
+        win = extract_audio_window(samples, self._record(), 0, 30.0, 1.0, sr)
+        np.testing.assert_allclose(win, samples[:1000])
+
+    def test_window_right_clamp(self):
+        sr = 1000
+        samples = np.arange(10000, dtype=np.float32)
+        win = extract_audio_window(samples, self._record(), 299, 30.0, 1.0,
+                                   sr)
+        np.testing.assert_allclose(win, samples[-1000:])
+
+    def test_short_audio_tiles(self):
+        sr = 1000
+        samples = np.arange(300, dtype=np.float32)
+        win = extract_audio_window(samples, self._record(), 150, 30.0, 1.0,
+                                   sr)
+        assert win.shape == (1000,)
+        np.testing.assert_allclose(win[300:600], samples)
+
+    def test_read_wav_roundtrip(self, tmp_path):
+        from scipy.io import wavfile
+
+        path = str(tmp_path / "t.wav")
+        sig = (np.sin(np.linspace(0, 100, 24000)) * 20000).astype(np.int16)
+        wavfile.write(path, 24000, sig)
+        data, sr = read_wav(path)
+        assert sr == 24000
+        assert np.abs(data).max() <= 1.0
+        np.testing.assert_allclose(data, sig / 32768.0, atol=1e-6)
+
+
+class TestLoader:
+    def test_synthetic_batches(self):
+        ds = SyntheticVideoDataset(["rgb", "sound"], length=12, num_groups=4,
+                                   num_clips=2, canvas_size=(64, 96),
+                                   audio_length=0.16)
+        loader = HostDataLoader(ds, 4, is_train=True, input_size=32,
+                                scale_range=(36, 48), workers=2, seed=0)
+        batches = list(loader)
+        assert len(batches) == 3
+        b = batches[0]
+        assert b["rgb_frames"].shape == (4, 8, 64, 96, 3)
+        assert b["rgb_crop"].shape == (4, 4)
+        assert b["sound_wave"].shape == (4, 2, 3840)
+        assert b["target"].shape == (4,)
+
+    def test_epoch_shuffling_differs(self):
+        ds = SyntheticVideoDataset(["rgb"], length=16, num_groups=2,
+                                   canvas_size=(32, 48))
+        loader = HostDataLoader(ds, 16, is_train=True, input_size=16,
+                                workers=1, seed=0)
+        loader.set_epoch(0)
+        a = next(iter(loader))["target"]
+        loader.set_epoch(1)
+        b = next(iter(loader))["target"]
+        assert not np.array_equal(a, b)
+
+    def test_sharding_partitions_data(self):
+        ds = SyntheticVideoDataset(["rgb"], length=16, num_groups=2,
+                                   canvas_size=(32, 48))
+        seen = []
+        for shard in range(2):
+            loader = HostDataLoader(ds, 4, is_train=False, input_size=16,
+                                    workers=1, num_shards=2,
+                                    shard_index=shard)
+            for b in loader:
+                seen.append(b["target"])
+        all_targets = np.concatenate(seen)
+        assert all_targets.shape == (16,)
+
+    def test_val_no_flips(self):
+        ds = SyntheticVideoDataset(["rgb"], length=8, num_groups=2,
+                                   canvas_size=(32, 48))
+        loader = HostDataLoader(ds, 8, is_train=False, input_size=16,
+                                workers=1)
+        b = next(iter(loader))
+        assert not b["rgb_flip"].any()
+
+
+class TestDevicePipeline:
+    def test_multimodal_shapes(self):
+        import jax.numpy as jnp
+        from adamml_tpu.configs.config import ExperimentConfig
+        from adamml_tpu.data.device_pipeline import make_batch_preprocessor
+
+        cfg = ExperimentConfig()
+        cfg.model.modality = ["rgb", "flow", "rgbdiff", "sound"]
+        cfg.model.groups = 2
+        cfg.model.num_segments = 2
+        cfg.model.compute_dtype = "float32"
+        cfg.data.input_size = 16
+        cfg.data.audio_length = 0.16
+        pre = make_batch_preprocessor(cfg, train=True, num_segments=2)
+        n, t = 2, 4  # t = S*F
+        batch = {
+            "rgb_frames": np.zeros((n, t, 32, 48, 3), np.uint8),
+            "rgb_crop": np.tile([0, 0, 32, 32], (n, 1)).astype(np.float32),
+            "rgb_flip": np.zeros((n,), bool),
+            "flow_frames": np.zeros((n, t * 5, 32, 48, 2), np.uint8),
+            "flow_crop": np.tile([0, 0, 32, 32], (n, 1)).astype(np.float32),
+            "flow_flip": np.zeros((n,), bool),
+            "rgbdiff_frames": np.zeros((n, t * 6, 32, 48, 3), np.uint8),
+            "rgbdiff_crop": np.tile([0, 0, 32, 32], (n, 1)).astype(np.float32),
+            "rgbdiff_flip": np.zeros((n,), bool),
+            "sound_wave": np.zeros((n, 2, 3840), np.float32),
+            "sound_valid": np.ones((n, 2), np.float32),
+            "target": np.zeros((n,), np.int32),
+        }
+        inputs, target = pre(batch)
+        assert inputs[0].shape == (n, 2, 2, 16, 16, 3)     # rgb
+        assert inputs[1].shape == (n, 2, 2, 16, 16, 10)    # flow
+        assert inputs[2].shape == (n, 2, 2, 16, 16, 15)    # rgbdiff
+        assert inputs[3].shape[0:3] == (n, 2, 1)           # sound
+        assert inputs[3].shape[-1] == 1
+
+    def test_missing_sound_zeroed(self):
+        import jax.numpy as jnp
+        from adamml_tpu.configs.config import ExperimentConfig
+        from adamml_tpu.data.device_pipeline import make_batch_preprocessor
+
+        cfg = ExperimentConfig()
+        cfg.model.modality = ["sound"]
+        cfg.model.compute_dtype = "float32"
+        cfg.data.audio_length = 0.16
+        pre = make_batch_preprocessor(cfg, train=True, num_segments=1)
+        batch = {
+            "sound_wave": np.random.randn(2, 1, 3840).astype(np.float32),
+            "sound_valid": np.asarray([[1.0], [0.0]], np.float32),
+            "target": np.zeros((2,), np.int32),
+        }
+        inputs, _ = pre(batch)
+        spec = np.asarray(inputs[0])
+        assert np.abs(spec[0]).max() > 0
+        np.testing.assert_allclose(spec[1], 0.0)

@@ -193,8 +193,13 @@ class TestAugment:
             jnp.asarray(frames), jnp.asarray(np.array([[8, 4, 24, 24]], np.float32)),
             jnp.asarray(np.array([False])), out_size=16, mean=None, std=None)
         got = np.asarray(out)[0, 0]
-        # implementations differ at pixel boundaries; require close agreement
-        assert np.mean(np.abs(got - expected)) < 1.5
+        d = np.abs(got - expected)
+        # interior must agree to sub-quantization level; the crop border may
+        # differ (PIL clamps at the crop edge, our sampler reads the true
+        # neighboring pixels of the source image)
+        assert d[2:-2, 2:-2].mean() < 0.5
+        assert d[2:-2, 2:-2].max() < 2.0
+        assert d.mean() < 3.0
 
     def test_rgbdiff_formula(self):
         a = np.array([[[[10, 0, 255]]]], np.uint8)   # frame 0

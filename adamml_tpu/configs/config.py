@@ -170,6 +170,7 @@ class RuntimeConfig:
     mesh_data: int = -1  # -1: all devices
     mesh_model: int = 1
     seed: int = 0
+    profile_dir: str = ""  # jax.profiler trace of early steps when set
 
 
 @dataclasses.dataclass
@@ -275,6 +276,7 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_data", default=-1, type=int)
     p.add_argument("--mesh_model", default=1, type=int)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--profile_dir", default="", type=str)
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     return p
@@ -330,6 +332,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         pretrained=args.pretrained,
         unimodality_pretrained=list(args.unimodality_pretrained),
         mesh_data=args.mesh_data, mesh_model=args.mesh_model, seed=args.seed,
+        profile_dir=args.profile_dir,
     )
     return ExperimentConfig(model=model, optim=optim, data=data, runtime=runtime)
 

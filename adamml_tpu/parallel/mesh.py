@@ -61,18 +61,21 @@ def shard_batch(batch, mesh: Mesh):
 _TP_KEYS = ("joint_fc1", "joint_fc2", "fc", "classifier", "ih", "hh")
 
 
-def _spec_for_param(path, leaf) -> P:
+def _spec_for_param(path, leaf, model_size: int) -> P:
     names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-    if leaf.ndim == 2 and any(k in names for k in _TP_KEYS):
+    if (leaf.ndim == 2 and any(k in names for k in _TP_KEYS)
+            and leaf.shape[1] % model_size == 0):
         return P(None, "model")  # column-parallel kernel
     return P()
 
 
 def param_shardings(mesh: Mesh, tree):
     """NamedShardings: replicated by default, wide kernels column-sharded
-    over 'model' (no-op when mesh_model == 1)."""
+    over 'model' when divisible (no-op when mesh_model == 1)."""
+    model_size = mesh.shape["model"]
+
     def to_sharding(path, leaf):
-        return NamedSharding(mesh, _spec_for_param(path, leaf))
+        return NamedSharding(mesh, _spec_for_param(path, leaf, model_size))
     return jax.tree_util.tree_map_with_path(to_sharding, tree)
 
 

@@ -124,6 +124,22 @@ class AdaMMLTrainer:
         state = AdaMMLTrainState.create(params, batch_stats, main_opt,
                                         policy_opt,
                                         temperature=INIT_TEMPERATURE)
+        # pretrained loading (reference train_adamml.py:144-158 and
+        # joint_resnet_mobilenetv2.py:141-155)
+        if cfg.runtime.unimodality_pretrained:
+            from ..ckpt.pretrained import load_unimodality_pretrained
+
+            state = load_unimodality_pretrained(
+                state, self.modality, cfg.runtime.unimodality_pretrained,
+                depth=cfg.model.depth, fusion_point=cfg.model.fusion_point)
+        if cfg.runtime.pretrained:
+            from ..ckpt.pretrained import load_pretrained_adamml
+
+            state = load_pretrained_adamml(state, cfg.runtime.pretrained)
+            if self.rank == 0:
+                print(f"=> using pre-trained model "
+                      f"(temperature: {float(np.asarray(state.temperature))})",
+                      flush=True)
         self.state = replicate(state, self.mesh)
 
         # steps
@@ -200,6 +216,11 @@ class AdaMMLTrainer:
 
     def _train_one(self, step_fn, epoch: int, cost_weights, logger):
         self.rng, sub = jax.random.split(self.rng)
+        profiler = None
+        if self.cfg.runtime.profile_dir and epoch == 0:
+            from ..utils.profiling import StepProfiler
+
+            profiler = StepProfiler(self.cfg.runtime.profile_dir)
         self.state, summary = train_epoch(
             self.train_loader, self.train_pre, step_fn, self.state,
             lr=self._lr(epoch, self.cfg.optim.lr, self.plateau),
@@ -207,7 +228,9 @@ class AdaMMLTrainer:
             cost_weights=cost_weights, rng=sub, epoch=epoch,
             modality=self.modality, adamml=True,
             display=self.cfg.runtime.print_freq, rank=self.rank,
-            logger=logger)
+            logger=logger, profiler=profiler)
+        if profiler is not None:
+            profiler.close()
         return summary
 
     def _validate(self):

@@ -34,7 +34,7 @@ def train_epoch(loader, preprocess: Callable, step_fn: Callable, state,
                 rng: Optional[jax.Array] = None, epoch: int = 0,
                 modality: Optional[Sequence[str]] = None,
                 adamml: bool = True, display: int = 100, rank: int = 0,
-                logger=None, steps_per_epoch: int = 10**12):
+                logger=None, steps_per_epoch: int = 10**12, profiler=None):
     """One training epoch. Returns (state, summary dict)."""
     batch_time, data_time = AverageMeter(), AverageMeter()
     losses, top1, top5 = AverageMeter(), AverageMeter(), AverageMeter()
@@ -53,6 +53,8 @@ def train_epoch(loader, preprocess: Callable, step_fn: Callable, state,
     num_batch = 0
     for i, host_batch in enumerate(loader):
         data_time.update(time.time() - end)
+        if profiler is not None:
+            profiler.step(i)
         inputs, target = preprocess(host_batch)
         n = int(target.shape[0])
         if adamml:

@@ -70,18 +70,28 @@ def main() -> int:
     p_lr = jnp.asarray(1e-2)
     cw = jnp.asarray([1.0, 0.05])
 
-    # warmup / compile
+    # warmup / compile; a VALUE FETCH is the only reliable sync on the axon
+    # relay (block_until_ready returns before execution completes there)
     state, metrics = step(state, inputs, target, lr, p_lr, cw, rng)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = step(state, inputs, target, lr, p_lr, cw,
-                              jax.random.fold_in(rng, i))
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    def run(n_steps, key0, st):
+        t0 = time.perf_counter()
+        m = None
+        for i in range(n_steps):
+            st, m = step(st, inputs, target, lr, p_lr, cw,
+                         jax.random.fold_in(rng, key0 + i))
+        float(jax.device_get(m["loss"]))  # drains the queue
+        return time.perf_counter() - t0, st
 
-    videos_per_sec = batch * steps / dt
+    # marginal per-step time: (T(large) - T(small)) / (large - small)
+    # cancels the fixed dispatch+fetch round-trip of the tunnel
+    small = max(1, steps // 4)
+    t_small, state = run(small, 1000, state)
+    t_large, state = run(steps, 2000, state)
+    dt = max(1e-9, (t_large - t_small) / max(1, steps - small))
+
+    videos_per_sec = batch / dt
     train_flops_per_video = REF_FWD_GFLOPS * 1e9 * 3.0
     mfu = (videos_per_sec * train_flops_per_video) / (
         V5E_PEAK_TFLOPS_BF16 * 1e12)
@@ -92,7 +102,8 @@ def main() -> int:
         "vs_baseline": round(videos_per_sec / BASELINE_VIDEOS_PER_SEC, 3),
     }
     print(json.dumps(result))
-    print(f"# batch={batch} steps={steps} step_time={dt / steps * 1000:.1f}ms "
+    print(f"# batch={batch} steps={steps} step_time={dt * 1000:.1f}ms "
+          f"(T({small})={t_small:.2f}s T({steps})={t_large:.2f}s) "
           f"modeled-MFU~{mfu * 100:.1f}% "
           f"baseline_est={BASELINE_VIDEOS_PER_SEC:.1f} clips/s (V100 fp32 "
           f"@40% MFU on the reference's own FLOPs model)", file=sys.stderr)

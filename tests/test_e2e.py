@@ -170,6 +170,63 @@ class TestEndToEnd:
         assert v["outputs"].shape[1] == 5
 
 
+class TestPretrainedLoading:
+    def test_unimodality_pretrained_grafts_backbones(self, tmp_path):
+        """unimodal checkpoints -> AdaMML main-net backbones (reference
+        joint_resnet_mobilenetv2.py:141-155)."""
+        from adamml_tpu.train.curriculum import AdaMMLTrainer, UnimodalTrainer
+        from adamml_tpu.ckpt.checkpoint import save_checkpoint
+
+        paths = []
+        uni_states = {}
+        for m, backbone in (("rgb", "resnet"), ("sound",
+                                                "sound_mobilenet_v2")):
+            cfg = tiny_cfg(tmp_path / m, modality=(m,))
+            cfg.model.backbone_net = backbone
+            t = UnimodalTrainer(cfg)
+            p = save_checkpoint(t.state, {"epoch": 1, "stage": "unimodal",
+                                          "best_top1": 0.0, "arch": m},
+                                str(tmp_path / m))
+            paths.append(p)
+            uni_states[m] = jax.device_get(t.state.params)
+
+        cfg = tiny_cfg(tmp_path / "joint")
+        cfg.runtime.unimodality_pretrained = paths
+        trainer = AdaMMLTrainer(cfg)
+        got = jax.device_get(trainer.state.params["main_net"])
+        np.testing.assert_allclose(
+            np.asarray(got["net_rgb"]["conv1"]["kernel"]),
+            np.asarray(uni_states["rgb"]["conv1"]["kernel"]))
+        np.testing.assert_allclose(
+            np.asarray(got["net_sound"]["features_0"]["conv"]["kernel"]),
+            np.asarray(uni_states["sound"]["features_0"]["conv"]["kernel"]))
+
+    def test_pretrained_whole_model_and_temperature(self, tmp_path):
+        from adamml_tpu.train.curriculum import AdaMMLTrainer
+        from adamml_tpu.ckpt.checkpoint import save_checkpoint
+
+        cfg = tiny_cfg(tmp_path)
+        t = AdaMMLTrainer(cfg)
+        t.state = t.state.replace(
+            temperature=jnp.asarray(3.3, jnp.float32))
+        path = save_checkpoint(t.state, {"epoch": 1, "stage": "warmup",
+                                         "best_top1": 0.0, "arch": "x"},
+                               str(tmp_path / "src"))
+        src_kernel = np.asarray(jax.device_get(
+            t.state.params["policy_net"]["joint_fc1"]["kernel"]))
+
+        cfg2 = tiny_cfg(tmp_path / "dst")
+        cfg2.runtime.pretrained = path
+        cfg2.runtime.seed = 99  # different init; must be overwritten
+        t2 = AdaMMLTrainer(cfg2)
+        assert float(jax.device_get(t2.state.temperature)) == pytest.approx(
+            3.3, rel=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(
+                t2.state.params["policy_net"]["joint_fc1"]["kernel"])),
+            src_kernel)
+
+
 class TestUnimodal:
     def test_rgb_resnet_end_to_end(self, tmp_path):
         from adamml_tpu.train.curriculum import UnimodalTrainer

@@ -202,13 +202,13 @@ class TestAugment:
         assert d.mean() < 3.0
 
     def test_rgbdiff_formula(self):
-        a = np.array([[[[10, 0, 255]]]], np.uint8)   # frame 0
-        b = np.array([[[[20, 0, 0]]]], np.uint8)     # frame 1
+        a = np.array([[[10, 0, 255]]], np.uint8)     # frame 0, (1, 1, 3)
+        b = np.array([[[20, 0, 0]]], np.uint8)       # frame 1
         frames = np.stack([a, b], axis=0)[None]      # (1, 2, 1, 1, 3)
         out = np.asarray(rgbdiff_from_frames(jnp.asarray(frames)))
         expected = ((b.astype(np.float64) - a.astype(np.float64) + 255.0)
                     * 255.0 / 510.0).astype(np.uint8)
-        np.testing.assert_array_equal(out[0, 0], expected[0])
+        np.testing.assert_array_equal(out[0, 0], expected)
 
     def test_policy_stream_shape(self):
         x = jnp.zeros((2, 5, 8, 224, 224, 3))

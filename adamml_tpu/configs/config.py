@@ -71,6 +71,10 @@ class ModelConfig:
     num_classes: int = 31
     # policy-stream resolution (reference models/adamml.py:42 p_rgb_size)
     policy_input_size: int = 160
+    # eval-only REAL conditional compute: fraction of segment-rows per
+    # modality the main net actually executes (None/1.0 = reference
+    # behavior: everything runs, savings are only modeled)
+    eval_capacity: Optional[float] = None
     # TPU-specific knobs (no reference equivalent): compute precision.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
@@ -206,6 +210,7 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--rng_threshold", type=float, default=0.5)
     p.add_argument("--gammas", default=10.0, type=float)
     p.add_argument("--penalty_type", default="blockdrop", choices=["mean", "blockdrop"])
+    p.add_argument("--eval_capacity", default=None, type=float)
 
     # training
     p.add_argument("-b", "--batch-size", dest="batch_size", default=72, type=int)
@@ -297,6 +302,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         rng_policy=args.rng_policy, rng_threshold=args.rng_threshold,
         gammas=args.gammas, penalty_type=args.penalty_type,
         modality=list(args.modality), num_classes=meta.num_classes,
+        eval_capacity=args.eval_capacity,
         compute_dtype=args.compute_dtype,
     )
     optim = OptimConfig(

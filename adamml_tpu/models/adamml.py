@@ -60,6 +60,7 @@ class AdaMML(nn.Module):
     rng_policy: bool = False
     rng_threshold: float = 0.5
     policy_input_size: int = 160
+    eval_capacity: Optional[float] = None  # real conditional compute at eval
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -116,6 +117,7 @@ class AdaMML(nn.Module):
                             pooling_method=self.pooling_method,
                             fusion_point=self.fusion_point,
                             learnable_lf_weights=self.learnable_lf_weights,
+                            eval_capacity=self.eval_capacity,
                             dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                             name="main_net")
         seg_logits = main(m_x, dec_flat, train=train)  # (N*S, K)

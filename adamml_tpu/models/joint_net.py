@@ -38,6 +38,13 @@ class JointMainNet(nn.Module):
     pooling_method: str = "max"
     fusion_point: str = "logits"
     learnable_lf_weights: bool = False
+    # eval-only REAL conditional compute: fraction of rows per modality to
+    # actually run (None = run everything, like the reference, which only
+    # MODELS the savings -- reference models/adamml.py:82-86). Selected rows
+    # are packed into a static-capacity buffer (argsort gather), the
+    # backbone runs on the packed buffer only, and logits scatter back;
+    # over-capacity selections degrade to decision=0.
+    eval_capacity: Optional[float] = None
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -58,14 +65,30 @@ class JointMainNet(nn.Module):
                  decisions: Optional[jax.Array] = None,
                  train: bool = False):
         b = m_x[0].shape[0]
+        use_packing = (self.eval_capacity is not None and not train
+                       and decisions is not None
+                       and self.fusion_point == "logits"
+                       and self.eval_capacity < 1.0)
         if self.fusion_point == "logits":
             outs = []
             for i, m in enumerate(self.modality):
-                logit = self._backbone(m)(m_x[i], train=train)  # (B, K)
-                if decisions is not None:
-                    # mask at logits; backbones always run (reference
-                    # joint_resnet_mobilenetv2.py:92-94)
-                    logit = logit * decisions[i][:, None]
+                net = self._backbone(m)
+                if use_packing:
+                    cap = max(1, int(round(self.eval_capacity * b)))
+                    # stable argsort: selected rows first
+                    order = jnp.argsort(-decisions[i], stable=True)
+                    idx = order[:cap]
+                    xp = jnp.take(m_x[i], idx, axis=0)
+                    lp = net(xp, train=False)  # (cap, K)
+                    lp = lp * decisions[i][idx][:, None]
+                    logit = jnp.zeros((b, lp.shape[-1]),
+                                      lp.dtype).at[idx].set(lp)
+                else:
+                    logit = net(m_x[i], train=train)  # (B, K)
+                    if decisions is not None:
+                        # mask at logits; backbones always run (reference
+                        # joint_resnet_mobilenetv2.py:92-94)
+                        logit = logit * decisions[i][:, None]
                 outs.append(logit)
             out = jnp.stack(outs, axis=0)  # (M, B, K)
             if self.learnable_lf_weights:

@@ -42,7 +42,8 @@ def build_model(cfg: ExperimentConfig) -> Tuple[object, str]:
             learnable_lf_weights=m.learnable_lf_weights,
             causality_modeling=m.causality_modeling, rng_policy=m.rng_policy,
             rng_threshold=m.rng_threshold,
-            policy_input_size=m.policy_input_size, dtype=_dtype(cfg),
+            policy_input_size=m.policy_input_size,
+            eval_capacity=m.eval_capacity, dtype=_dtype(cfg),
             bn_axis_name=_bn_axis(cfg))
     elif m.backbone_net == "resnet":
         model = ResNetTSN(

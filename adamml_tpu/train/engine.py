@@ -49,8 +49,27 @@ def train_epoch(loader, preprocess: Callable, step_fn: Callable, state,
     lr_a = jnp.asarray(lr, jnp.float32)
     p_lr_a = jnp.asarray(p_lr, jnp.float32)
 
+    # Metrics stay ON DEVICE during the epoch and are fetched in bulk: a
+    # host fetch is a pipeline sync (especially costly through the axon
+    # relay), so per-step .item() calls -- the reference's pattern
+    # (utils/utils.py:384) -- would serialize host and device. Display
+    # points fetch only the most recent step's scalars.
+    pending = []  # (step index, batch size, device metrics)
     end = time.time()
     num_batch = 0
+
+    def drain():
+        for _idx, bn, dm in pending:
+            got = jax.device_get(dm)
+            losses.update(float(got["loss"]), bn)
+            top1.update(float(got["top1"]), bn)
+            top5.update(float(got["top5"]), bn)
+            if adamml and modality:
+                sel = np.asarray(got["selection"])
+                for mi, m in enumerate(modality):
+                    selection[m].update(float(sel[mi]))
+        pending.clear()
+
     for i, host_batch in enumerate(loader):
         data_time.update(time.time() - end)
         if profiler is not None:
@@ -62,18 +81,12 @@ def train_epoch(loader, preprocess: Callable, step_fn: Callable, state,
                                      cw, rng)
         else:
             state, metrics = step_fn(state, inputs, target, lr_a, rng)
-        metrics = jax.device_get(metrics)
-        losses.update(float(metrics["loss"]), n)
-        top1.update(float(metrics["top1"]), n)
-        top5.update(float(metrics["top5"]), n)
-        if adamml and modality:
-            sel = np.asarray(metrics["selection"])
-            for mi, m in enumerate(modality):
-                selection[m].update(float(sel[mi]))
+        pending.append((i, n, metrics))
         batch_time.update(time.time() - end)
         end = time.time()
         num_batch += 1
         if i % display == 0 and rank == 0 and logger is not None:
+            drain()  # sync point, amortized over `display` steps
             sel_msg = " ".join(f"{m}:{v.avg * 100:.2f}"
                                for m, v in selection.items())
             logger.log(
@@ -86,6 +99,7 @@ def train_epoch(loader, preprocess: Callable, step_fn: Callable, state,
                 + (f"Selection: {sel_msg}" if sel_msg else ""))
         if i > steps_per_epoch:
             break
+    drain()
 
     summary = {"top1": top1.avg, "top5": top5.avg, "loss": losses.avg,
                "batch_time": batch_time.avg, "data_time": data_time.avg,
@@ -106,27 +120,37 @@ def validate(loader, preprocess: Callable, eval_step: Callable, state,
     selection = {m: AverageMeter() for m in modality}
     rng = jax.random.PRNGKey(1) if rng is None else rng
 
-    all_logits: List[np.ndarray] = []
-    all_targets: List[np.ndarray] = []
-    all_selections: List[np.ndarray] = []
+    # device-side accumulation; one bulk fetch at the end (host fetches are
+    # pipeline syncs -- see train_epoch)
+    all_logits: List = []
+    all_targets: List = []
+    all_selections: List = []
+    all_losses: List = []
+    batch_sizes: List[int] = []
     end = time.time()
     for host_batch in loader:
         inputs, target = preprocess(host_batch)
-        n = int(target.shape[0])
+        batch_sizes.append(int(target.shape[0]))
         if adamml:
             logits, decisions, loss = eval_step(state, inputs, target, rng)
-            dec = _host(decisions)
-            all_selections.append(dec)
-            sel = dec.mean(axis=(0, 1))
-            for mi, m in enumerate(modality):
-                selection[m].update(float(sel[mi]))
+            all_selections.append(decisions)
         else:
             logits, loss = eval_step(state, inputs, target, rng)
-        losses.update(float(jax.device_get(loss)), n)
-        all_logits.append(_host(logits))
-        all_targets.append(_host(target))
+        all_losses.append(loss)
+        all_logits.append(logits)
+        all_targets.append(target)
         batch_time.update(time.time() - end)
         end = time.time()
+
+    all_logits = [_host(x) for x in all_logits]
+    all_targets = [_host(x) for x in all_targets]
+    all_selections = [_host(x) for x in all_selections]
+    for n, loss in zip(batch_sizes, jax.device_get(all_losses)):
+        losses.update(float(loss), n)
+    for dec in all_selections:
+        sel = dec.mean(axis=(0, 1))
+        for mi, m in enumerate(modality):
+            selection[m].update(float(sel[mi]))
 
     logits = np.concatenate(all_logits, axis=0)
     targets = np.concatenate(all_targets, axis=0)

@@ -173,6 +173,34 @@ class TestJointMainNet:
         assert lf.shape == (1,)
         np.testing.assert_allclose(lf, 0.5)
 
+    def test_eval_capacity_packing_matches_full_run(self):
+        """Packed conditional execution must equal the full masked run when
+        the selected rows fit within capacity."""
+        rgb = jax.random.normal(jax.random.PRNGKey(0), (8, 2, 48, 48, 3))
+        snd = jax.random.normal(jax.random.PRNGKey(1), (8, 1, 64, 64, 1))
+        dec = jnp.asarray([[1., 0., 0., 1., 0., 0., 1., 0.],
+                           [0., 1., 0., 0., 1., 0., 0., 0.]])  # <= 3 of 8 on
+        full = JointMainNet(modality=("rgb", "sound"), depth=18,
+                            num_classes=5, dropout=0.0)
+        packed = JointMainNet(modality=("rgb", "sound"), depth=18,
+                              num_classes=5, dropout=0.0, eval_capacity=0.5)
+        v = full.init(init_rngs(), [rgb, snd], None, train=False)
+        out_full = full.apply(v, [rgb, snd], dec, train=False)
+        out_packed = packed.apply(v, [rgb, snd], dec, train=False)
+        np.testing.assert_allclose(np.asarray(out_packed),
+                                   np.asarray(out_full), rtol=2e-3, atol=2e-3)
+
+    def test_eval_capacity_drops_over_capacity_rows(self):
+        rgb = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 48, 48, 3))
+        dec = jnp.asarray([[1., 1., 1., 1.]])  # all on, capacity 0.5 -> 2 run
+        packed = JointMainNet(modality=("rgb",), depth=18, num_classes=5,
+                              dropout=0.0, eval_capacity=0.5)
+        v = packed.init(init_rngs(), [rgb], None, train=False)
+        out = np.asarray(packed.apply(v, [rgb], dec, train=False))
+        # exactly 2 rows got logits; the rest degraded to zeros
+        nonzero_rows = (np.abs(out).sum(axis=1) > 0).sum()
+        assert nonzero_rows == 2
+
     def test_fc2_rejects_decisions(self):
         model = JointMainNet(modality=("rgb",), depth=18, num_classes=5,
                              fusion_point="fc2")

@@ -58,19 +58,49 @@ class _ConvBNReLU6(nn.Module):
     groups: int = 1
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    use_pallas_dw: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
-        pad = (self.kernel - 1) // 2
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    (self.strides, self.strides),
-                    padding=[(pad, pad), (pad, pad)],
-                    feature_group_count=self.groups, use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
+        is_depthwise = (self.use_pallas_dw and self.groups > 1
+                        and self.groups == self.features and self.kernel == 3)
+        if is_depthwise:
+            # same param tree as nn.Conv (a (3, 3, 1, C) 'kernel'), but
+            # dispatched through the fused Pallas depthwise kernel on shapes
+            # where it beats XLA (ops/pallas/depthwise.py)
+            x = _DepthwiseConv(self.features, self.strides, self.dtype,
+                               name="conv")(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        (self.strides, self.strides),
+                        padding=[(self.kernel // 2, self.kernel // 2),
+                                 (self.kernel // 2, self.kernel // 2)],
+                        feature_group_count=self.groups, use_bias=False,
+                        dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          axis_name=self.bn_axis_name, name="bn")(x)
         return jax.nn.relu6(x)
+
+
+class _DepthwiseConv(nn.Module):
+    """3x3 depthwise conv with nn.Conv's parameter layout ((3,3,1,C)
+    'kernel') but dispatched through the fused Pallas kernel when
+    profitable."""
+
+    features: int
+    strides: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas.depthwise import depthwise_conv3x3
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 1, self.features), jnp.float32)
+        w = kernel.reshape(3, 3, self.features).astype(x.dtype)
+        return depthwise_conv3x3(x, w, stride=self.strides)
 
 
 class InvertedResidual(nn.Module):
@@ -80,6 +110,7 @@ class InvertedResidual(nn.Module):
     expand_ratio: int
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    use_pallas_dw: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -93,6 +124,7 @@ class InvertedResidual(nn.Module):
                                name="pw")(out, train)
         out = _ConvBNReLU6(hidden, 3, self.strides, groups=hidden,
                            dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                           use_pallas_dw=self.use_pallas_dw,
                            name="dw")(out, train)
         out = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                       name="pw_linear")(out)
@@ -118,6 +150,11 @@ class MobileNetV2(nn.Module):
     width_mult: float = 1.0
     dropout: float = 0.5
     temporal_pooling: bool = False
+    # Opt-in fused Pallas depthwise conv (ops/pallas/depthwise.py). The
+    # kernel beats XLA 1.5x on large-spatial depthwise blocks in isolation,
+    # but inside the full differentiated train graph the custom-VJP fusion
+    # boundary costs more than it saves, so XLA convs are the default.
+    use_pallas_dw: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -150,6 +187,7 @@ class MobileNetV2(nn.Module):
                 x = InvertedResidual(out_ch, s if i == 0 else 1, t,
                                      dtype=self.dtype,
                                      bn_axis_name=self.bn_axis_name,
+                                     use_pallas_dw=self.use_pallas_dw,
                                      name=f"features_{idx}")(x, train)
                 idx += 1
 

@@ -419,15 +419,35 @@ class UnimodalTrainer:
             self.model, self.tx, clip_gradient=cfg.optim.clip_gradient)
         self.eval_step = make_unimodal_eval_step(self.model)
         self.best_top1 = 0.0
+        self.start_epoch = cfg.optim.start_epoch
         self.rng = jax.random.fold_in(rng, 23)
         self.plateau = (ReduceLROnPlateau(cfg.optim.lr)
                         if cfg.optim.lr_scheduler == "plateau" else None)
 
+    def maybe_resume(self, logger) -> None:
+        r = self.cfg.runtime
+        resume = r.resume
+        if r.auto_resume and not resume:
+            latest = CheckpointManager(self.log_folder).latest()
+            if latest:
+                resume = latest
+                logger.log("Found the checkpoint in the log folder, "
+                           "will resume from there.")
+        if not resume:
+            return
+        self.state, meta = load_checkpoint(resume, self.state)
+        self.best_top1 = meta["best_top1"]
+        self.start_epoch = meta["epoch"]
+        logger.log(f"=> loaded checkpoint '{resume}' (epoch {meta['epoch']})")
+
     def run(self) -> Dict:
         cfg = self.cfg
-        logger = RankZeroLogger(self.log_folder, rank=self.rank)
+        logger = RankZeroLogger(self.log_folder, rank=self.rank,
+                                append=bool(cfg.runtime.resume
+                                            or cfg.runtime.auto_resume))
+        self.maybe_resume(logger)
         last: Dict = {}
-        for epoch in range(cfg.optim.start_epoch, cfg.optim.epochs):
+        for epoch in range(self.start_epoch, cfg.optim.epochs):
             lr = (self.plateau.lr if self.plateau else
                   lr_at_epoch(cfg.optim.lr_scheduler, cfg.optim.lr, epoch,
                               cfg.optim.lr_steps, cfg.optim.epochs))

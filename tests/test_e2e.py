@@ -227,6 +227,29 @@ class TestPretrainedLoading:
             src_kernel)
 
 
+class TestFourModalities:
+    def test_rgbdiff_proxy_curriculum(self, tmp_path):
+        """rgb+flow+rgbdiff+sound: policy consumes rgbdiff (not flow), main
+        consumes flow (not rgbdiff) -- reference models/adamml.py:143-152.
+        One alternating epoch through the full trainer."""
+        from adamml_tpu.train.curriculum import AdaMMLTrainer
+
+        cfg = tiny_cfg(tmp_path, modality=("rgb", "flow", "rgbdiff", "sound"))
+        cfg.model.cost_weights = [1.0, 0.1, 0.05]  # major modalities: 3
+        cfg.optim.warmup_epochs = 0
+        cfg.optim.finetune_epochs = 0
+        cfg.optim.curr_stage = "alternative_training"
+        t = AdaMMLTrainer(cfg)
+        assert t.modality == ["rgb", "flow", "sound"]  # rgbdiff is proxy-only
+        p = t.state.params
+        assert "net_rgbdiff" in p["policy_net"]
+        assert "net_flow" in p["main_net"]
+        assert "net_rgbdiff" not in p["main_net"]
+        assert "net_flow" not in p["policy_net"]
+        result = t.run()
+        assert result["all_selections"].shape[-1] == 3  # (N, S, M=3)
+
+
 class TestUnimodal:
     def test_rgb_resnet_end_to_end(self, tmp_path):
         from adamml_tpu.train.curriculum import UnimodalTrainer

@@ -37,7 +37,7 @@ V5E_PEAK_TFLOPS_BF16 = 197.0
 
 def main() -> int:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
     from __graft_entry__ import _flagship_cfg
     from adamml_tpu.models.model_builder import (build_model, example_inputs,

@@ -75,6 +75,8 @@ class ModelConfig:
     # modality the main net actually executes (None/1.0 = reference
     # behavior: everything runs, savings are only modeled)
     eval_capacity: Optional[float] = None
+    # opt-in Pallas fused depthwise conv in the MobileNetV2 trunks
+    use_pallas_dw: bool = False
     # TPU-specific knobs (no reference equivalent): compute precision.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
@@ -211,6 +213,7 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--gammas", default=10.0, type=float)
     p.add_argument("--penalty_type", default="blockdrop", choices=["mean", "blockdrop"])
     p.add_argument("--eval_capacity", default=None, type=float)
+    p.add_argument("--use_pallas_dw", action="store_true")
 
     # training
     p.add_argument("-b", "--batch-size", dest="batch_size", default=72, type=int)
@@ -303,6 +306,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         gammas=args.gammas, penalty_type=args.penalty_type,
         modality=list(args.modality), num_classes=meta.num_classes,
         eval_capacity=args.eval_capacity,
+        use_pallas_dw=args.use_pallas_dw,
         compute_dtype=args.compute_dtype,
     )
     optim = OptimConfig(

@@ -61,6 +61,7 @@ class AdaMML(nn.Module):
     rng_threshold: float = 0.5
     policy_input_size: int = 160
     eval_capacity: Optional[float] = None  # real conditional compute at eval
+    use_pallas_dw: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -98,6 +99,7 @@ class AdaMML(nn.Module):
                 p_x.append(t)
             policy = PolicyNet(modality=p_mod,
                                causality_modeling=self.causality_modeling,
+                               use_pallas_dw=self.use_pallas_dw,
                                dtype=self.dtype,
                                bn_axis_name=self.bn_axis_name,
                                name="policy_net")
@@ -118,6 +120,7 @@ class AdaMML(nn.Module):
                             fusion_point=self.fusion_point,
                             learnable_lf_weights=self.learnable_lf_weights,
                             eval_capacity=self.eval_capacity,
+                            use_pallas_dw=self.use_pallas_dw,
                             dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                             name="main_net")
         seg_logits = main(m_x, dec_flat, train=train)  # (N*S, K)

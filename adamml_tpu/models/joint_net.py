@@ -45,6 +45,7 @@ class JointMainNet(nn.Module):
     # backbone runs on the packed buffer only, and logits scatter back;
     # over-capacity selections degrade to decision=0.
     eval_capacity: Optional[float] = None
+    use_pallas_dw: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -57,6 +58,7 @@ class JointMainNet(nn.Module):
                              dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                              name=f"net_{m}")
         return MobileNetV2(num_classes=self.num_classes, dropout=self.dropout,
+                           use_pallas_dw=self.use_pallas_dw,
                            dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                            name=f"net_{m}")
 

@@ -43,8 +43,8 @@ def build_model(cfg: ExperimentConfig) -> Tuple[object, str]:
             causality_modeling=m.causality_modeling, rng_policy=m.rng_policy,
             rng_threshold=m.rng_threshold,
             policy_input_size=m.policy_input_size,
-            eval_capacity=m.eval_capacity, dtype=_dtype(cfg),
-            bn_axis_name=_bn_axis(cfg))
+            eval_capacity=m.eval_capacity, use_pallas_dw=m.use_pallas_dw,
+            dtype=_dtype(cfg), bn_axis_name=_bn_axis(cfg))
     elif m.backbone_net == "resnet":
         model = ResNetTSN(
             depth=m.depth, num_classes=m.num_classes, dropout=m.dropout,
@@ -53,7 +53,8 @@ def build_model(cfg: ExperimentConfig) -> Tuple[object, str]:
             bn_axis_name=_bn_axis(cfg))
     elif m.backbone_net == "sound_mobilenet_v2":
         model = MobileNetV2(
-            num_classes=m.num_classes, dropout=m.dropout, dtype=_dtype(cfg),
+            num_classes=m.num_classes, dropout=m.dropout,
+            use_pallas_dw=m.use_pallas_dw, dtype=_dtype(cfg),
             bn_axis_name=_bn_axis(cfg))
     else:
         raise ValueError(f"unknown backbone_net {m.backbone_net!r}")

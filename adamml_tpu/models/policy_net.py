@@ -71,6 +71,7 @@ class PolicyNet(nn.Module):
 
     modality: Tuple[str, ...]
     causality_modeling: Optional[str] = "lstm"
+    use_pallas_dw: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -83,7 +84,9 @@ class PolicyNet(nn.Module):
         for m_i, m in enumerate(self.modality):
             x = p_x[m_i]
             xf = x.reshape((n * s,) + x.shape[2:])  # fold segments into batch
-            trunk = MobileNetV2(temporal_pooling=True, dtype=self.dtype,
+            trunk = MobileNetV2(temporal_pooling=True,
+                                use_pallas_dw=self.use_pallas_dw,
+                                dtype=self.dtype,
                                 bn_axis_name=self.bn_axis_name,
                                 name=f"net_{m}")
             f = trunk(xf, train=train, features=True)  # (N*S, F_out, 1280)

@@ -6,6 +6,7 @@ from .augment import (
     rgbdiff_from_frames,
     policy_stream,
 )
+from .pallas.depthwise import depthwise_conv3x3
 
 __all__ = [
     "gumbel_softmax_hard",

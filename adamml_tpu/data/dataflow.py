@@ -96,6 +96,21 @@ class HostDataLoader:
             batch["target"] = np.stack(labels).astype(np.float32)
         return batch
 
+    def _sample_rng(self, index: int) -> np.random.RandomState:
+        """Per-sample RandomState keyed on (seed, epoch, index): identical
+        seeds reproduce identical frame indices regardless of thread
+        scheduling, and no worker ever touches the global np.random."""
+        mix = (1_000_003 * self.seed + 9_176_957 * (self.epoch + 1)
+               + 2_654_435_761 * index) % (2**31 - 1)
+        return np.random.RandomState(mix)
+
+    def _fetch(self, index: int):
+        idx = int(index)
+        get = getattr(self.dataset, "get_sample", None)
+        if get is not None:
+            return get(idx, self._sample_rng(idx))
+        return self.dataset[idx]
+
     def __iter__(self) -> Iterator[Dict]:
         indices = self._indices()
         nb = len(self)
@@ -113,7 +128,7 @@ class HostDataLoader:
                 for idxs in batches:
                     if stop.is_set():
                         return
-                    samples = list(pool.map(self.dataset.__getitem__,
+                    samples = list(pool.map(self._fetch,
                                             [int(i) for i in idxs]))
                     out_q.put(self._collate(samples, rng))
                 out_q.put(None)

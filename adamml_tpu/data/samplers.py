@@ -117,8 +117,11 @@ def sample_val_test_clip(video_length: int, num_consecutive_frames: int,
                 frame_idx = np.asarray([int(tick / 2.0 + cur + tick * x)
                                         for x in range(num_frames)])
             else:
-                np.random.seed(off - (-num_clips // 2 + 1))
-                frame_idx = np.random.choice(max_frame_idx, num_frames)
+                # reference reseeds the GLOBAL rng per clip
+                # (utils/video_dataset.py:205); a fresh RandomState with the
+                # same seed draws identical values and is thread-safe
+                quirk = np.random.RandomState(off - (-num_clips // 2 + 1))
+                frame_idx = quirk.choice(max_frame_idx, num_frames)
             indices.extend(np.sort(frame_idx).tolist())
     else:
         for i in range(num_clips):
@@ -126,14 +129,15 @@ def sample_val_test_clip(video_length: int, num_consecutive_frames: int,
             ave = max_frame_idx // num_frames
             if ave >= sample_freq:
                 frame_idx = np.repeat(np.arange(num_frames) * ave, sample_freq)
-                offsets = np.random.choice(ave, sample_freq, replace=False)
+                offsets = rng.choice(ave, sample_freq, replace=False)
                 frame_idx = frame_idx + np.tile(offsets, num_frames)
             elif max_frame_idx < total_frames:
-                np.random.seed(i)
-                frame_idx = np.random.choice(max_frame_idx, total_frames)
+                # per-clip np.random.seed(i) quirk (reference
+                # utils/video_dataset.py:224,228) as a thread-safe RandomState
+                frame_idx = np.random.RandomState(i).choice(
+                    max_frame_idx, total_frames)
             else:
-                np.random.seed(i)
-                frame_idx = np.random.choice(max_frame_idx, total_frames,
-                                             replace=False)
+                frame_idx = np.random.RandomState(i).choice(
+                    max_frame_idx, total_frames, replace=False)
             indices.extend(np.sort(frame_idx).tolist())
     return np.asarray(indices, dtype=np.int64) + 1

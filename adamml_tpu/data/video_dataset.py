@@ -183,10 +183,18 @@ class VideoDataset:
             onehot[int(x)] = 1.0
         return onehot
 
-    def __getitem__(self, index: int):
+    def get_sample(self, index: int,
+                   rng: Optional[np.random.RandomState] = None):
+        """Fetch one sample, drawing frame indices from `rng`. Loaders pass a
+        per-(seed, epoch, index) RandomState so sampling is deterministic and
+        thread-safe; bare __getitem__ falls back to the global np.random (the
+        reference's single-threaded behavior)."""
         record = self.video_list[index]
-        indices = self.sample_indices(record)
+        indices = self.sample_indices(record, rng=rng)
         return self.get_data(record, indices), self.get_label(record)
+
+    def __getitem__(self, index: int):
+        return self.get_sample(index)
 
 
 class MultiVideoDataset:
@@ -230,9 +238,10 @@ class MultiVideoDataset:
                                     self.dense_sampling, self.fixed_offset,
                                     self.num_clips, rng=rng)
 
-    def __getitem__(self, index: int):
+    def get_sample(self, index: int,
+                   rng: Optional[np.random.RandomState] = None):
         record = self.video_list[index]
-        indices = self.sample_indices(record)
+        indices = self.sample_indices(record, rng=rng)
         out: Dict[str, Dict[str, np.ndarray]] = {}
         label = None
         for m, child in zip(self.modality, self.children):
@@ -240,3 +249,6 @@ class MultiVideoDataset:
             out[m] = child.get_data(rec, indices)
             label = child.get_label(rec)  # label from each; last wins == same
         return out, label
+
+    def __getitem__(self, index: int):
+        return self.get_sample(index)

@@ -17,7 +17,7 @@ from __future__ import annotations
 import platform
 import sys
 
-from ..configs.config import arg_parser, config_from_args
+from ..configs.config import arg_parser, config_from_args, validate_args
 
 
 def init_distributed(cfg) -> None:
@@ -43,7 +43,9 @@ def init_distributed(cfg) -> None:
 
 
 def main(argv=None) -> int:
-    args = arg_parser().parse_args(argv)
+    parser = arg_parser()
+    args = parser.parse_args(argv)
+    validate_args(parser, args)
     cfg = config_from_args(args)
     cfg.model.backbone_net = "adamml"
     init_distributed(cfg)

@@ -10,12 +10,14 @@ from __future__ import annotations
 
 import sys
 
-from ..configs.config import arg_parser, config_from_args
+from ..configs.config import arg_parser, config_from_args, validate_args
 from .train_adamml import init_distributed
 
 
 def main(argv=None) -> int:
-    args = arg_parser().parse_args(argv)
+    parser = arg_parser()
+    args = parser.parse_args(argv)
+    validate_args(parser, args)
     cfg = config_from_args(args)
     if len(cfg.model.modality) != 1:
         raise ValueError("train_unimodal takes exactly one --modality")

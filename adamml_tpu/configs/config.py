@@ -117,6 +117,10 @@ class OptimConfig:
     clip_gradient: Optional[float] = None
     curr_stage: str = "warmup"  # warmup | alternative_training | finetune
     start_epoch: int = 0
+    # TPU-specific: apply optimizer updates on one raveled parameter vector
+    # (optim.FusedSGD/FusedAdam) instead of per-tensor optax updates --
+    # identical math, far fewer kernels (tools/bench_update.py)
+    fused_update: bool = True
 
 
 @dataclasses.dataclass
@@ -236,6 +240,9 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip_gradient", "--cg", dest="clip_gradient", default=None, type=float)
     p.add_argument("--curr_stage", default="warmup",
                    choices=["warmup", "alternative_training", "finetune"])
+    p.add_argument("--no_fused_update", action="store_true",
+                   help="per-tensor optax optimizer updates instead of the "
+                        "fused raveled-vector update")
 
     # data
     p.add_argument("-j", "--workers", default=18, type=int)
@@ -290,6 +297,27 @@ def arg_parser() -> argparse.ArgumentParser:
     return p
 
 
+def validate_args(parser: argparse.ArgumentParser,
+                  args: argparse.Namespace) -> None:
+    """Reject flags that would otherwise silently change nothing. The
+    reference accepts these and ignores them in the training drivers too, but
+    a user porting an eval protocol deserves a loud failure over a silent
+    no-op."""
+    if args.num_crops > 1:
+        parser.error("--num_crops > 1 (multi-crop eval) is not supported; "
+                     "use --val_num_clips for multi-clip evaluation")
+    if args.threed_data:
+        parser.error("--threed_data requires a 3D backbone; none is in the "
+                     "model table (the reference's default 's3d' is absent "
+                     "from its MODEL_TABLE as well)")
+    if args.pred_files or args.pred_weights is not None:
+        parser.error("--pred_files/--pred_weights offline ensemble scoring "
+                     "is not implemented; evaluate with -e instead")
+    if args.after_softmax:
+        parser.error("--after_softmax only applies to --pred_files ensemble "
+                     "scoring, which is not implemented")
+
+
 def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
     from .dataset_config import get_dataset_config
 
@@ -317,6 +345,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         warmup_epochs=args.warmup_epochs, finetune_epochs=args.finetune_epochs,
         clip_gradient=args.clip_gradient, curr_stage=args.curr_stage,
         start_epoch=args.start_epoch,
+        fused_update=not args.no_fused_update,
     )
     data = DataConfig(
         datadir=list(args.datadir), dataset=args.dataset,

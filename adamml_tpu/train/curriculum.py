@@ -31,7 +31,7 @@ from ..data.synthetic import SyntheticVideoDataset
 from ..data.video_dataset import MultiVideoDataset
 from ..models.adamml import INIT_TEMPERATURE, TEMPERATURE_DECAY
 from ..models.model_builder import build_model, example_inputs, init_model
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import make_mesh, place_on_mesh, shard_batch
 from ..utils.logging import RankZeroLogger
 from ..ckpt.checkpoint import CheckpointManager, load_checkpoint, save_checkpoint
 from .engine import train_epoch, validate
@@ -44,19 +44,26 @@ from .train_state import AdaMMLTrainState, StageFlags
 
 def _make_dataset(cfg: ExperimentConfig, *, is_train: bool, num_clips: int):
     d, m = cfg.data, cfg.model
+    # --random_sampling drives non-fixed-offset val/test clip starts
+    # (reference opts.py:91 -> utils/video_dataset.py fixed_offset)
+    fixed_offset = not d.random_sampling
     if d.dataset == "synthetic":
         return SyntheticVideoDataset(
             modality=m.modality, length=d.synthetic_length,
-            num_groups=m.groups, num_clips=num_clips,
+            num_groups=m.groups, frames_per_group=m.frames_per_group,
+            num_clips=num_clips,
             num_classes=m.num_classes, canvas_size=d.canvas_size,
             audio_length=d.audio_length, resampling_rate=d.resampling_rate,
-            is_train=is_train, seed=cfg.runtime.seed + (0 if is_train else 1))
+            is_train=is_train, dense_sampling=d.dense_sampling,
+            fixed_offset=fixed_offset,
+            seed=cfg.runtime.seed + (0 if is_train else 1))
     from ..configs.dataset_config import get_dataset_config
 
     meta = get_dataset_config(d.dataset)
     list_name = meta.train_list_name if is_train else meta.val_list_name
     kwargs = dict(num_groups=m.groups, frames_per_group=m.frames_per_group,
                   num_clips=num_clips, dense_sampling=d.dense_sampling,
+                  fixed_offset=fixed_offset,
                   image_tmpl=meta.image_tmpl, is_train=is_train,
                   separator=meta.filename_separator,
                   filter_video=meta.filter_video,
@@ -140,7 +147,7 @@ class AdaMMLTrainer:
                 print(f"=> using pre-trained model "
                       f"(temperature: {float(np.asarray(state.temperature))})",
                       flush=True)
-        self.state = replicate(state, self.mesh)
+        self.state = place_on_mesh(state, self.mesh)
 
         # steps
         common = dict(penalty_type=cfg.model.penalty_type,
@@ -176,8 +183,16 @@ class AdaMMLTrainer:
     # -- checkpointing -----------------------------------------------------
 
     def _meta(self, epoch: int, stage: str) -> Dict:
-        return {"epoch": epoch, "arch": self.arch_name,
-                "best_top1": float(self.best_top1), "stage": stage}
+        # scheduler + trainer-rng state ride in the meta payload so resumes
+        # continue at the decayed LR / rng position (reference checkpoints
+        # save p_scheduler/scheduler state dicts, train_adamml.py:373-383)
+        meta = {"epoch": epoch, "arch": self.arch_name,
+                "best_top1": float(self.best_top1), "stage": stage,
+                "rng": np.asarray(jax.device_get(self.rng)).tolist()}
+        if self.plateau is not None:
+            meta["scheduler"] = self.plateau.state_dict()
+            meta["p_scheduler"] = self.p_plateau.state_dict()
+        return meta
 
     def save(self, epoch: int, stage: str, suffix: str,
              is_best: bool = False) -> None:
@@ -200,14 +215,20 @@ class AdaMMLTrainer:
         self.best_top1 = meta["best_top1"]
         self.curr_stage = meta["stage"]
         self.start_epoch = meta["epoch"]
+        if "rng" in meta:
+            self.rng = jnp.asarray(meta["rng"], jnp.uint32)
+        if self.plateau is not None and "scheduler" in meta:
+            self.plateau.load_state_dict(meta["scheduler"])
+            self.p_plateau.load_state_dict(meta["p_scheduler"])
         logger.log(f"=> loaded checkpoint '{resume}' (epoch {meta['epoch']})")
 
     def _reset_optimizers(self) -> None:
         """Stage transition re-init (reference train_adamml.py:387-395)."""
         params = self.state.params
-        main_opt = replicate(self.tx_main.init(params["main_net"]), self.mesh)
-        policy_opt = (replicate(self.tx_policy.init(params["policy_net"]),
-                                self.mesh)
+        main_opt = place_on_mesh(self.tx_main.init(params["main_net"]),
+                                 self.mesh)
+        policy_opt = (place_on_mesh(self.tx_policy.init(params["policy_net"]),
+                                    self.mesh)
                       if self.has_policy else None)
         self.state = self.state.replace(main_opt=main_opt,
                                         policy_opt=policy_opt)
@@ -237,7 +258,8 @@ class AdaMMLTrainer:
         self.rng, sub = jax.random.split(self.rng)
         return validate(self.val_loader, self.val_pre, self.eval_step,
                         self.state, rng=sub, modality=self.modality,
-                        adamml=True, num_segments=self.cfg.data.val_num_clips)
+                        adamml=True, num_segments=self.cfg.data.val_num_clips,
+                        eval_capacity=self.cfg.model.eval_capacity)
 
     def _log_train(self, logger, epoch, total, s):
         sel = " ".join(f"{k}:{v * 100:.2f}" for k, v in s["selection"].items())
@@ -257,6 +279,11 @@ class AdaMMLTrainer:
             f"mAP: {v['mAP']:.4f}\t"
             f"Speed: {v['batch_time'] * 1000.0:.2f} ms/batch\t"
             f"flops: {v['flops']:.2f}\tSelection: {sel}")
+        dropped = v.get("capacity_dropped")
+        if dropped and any(dropped.values()):
+            drops = " ".join(f"{k}:{n}" for k, n in dropped.items())
+            logger.log(f"WARNING: eval_capacity packing dropped selected "
+                       f"segments (executed < modeled): {drops}")
 
     def _dump_selections(self, tag: str, epoch: int, selections) -> None:
         if self.rank != 0:
@@ -298,6 +325,11 @@ class AdaMMLTrainer:
         last_val: Dict = {}
 
         if self.curr_stage == "warmup":
+            # NOTE: warmup runs NO validation, matching the reference
+            # (train_adamml.py:340-395); best_top1 therefore stays 0.0 through
+            # warmup and the FIRST alternating epoch always becomes
+            # model_best. Do not "fix" this here without changing the
+            # reference comparison.
             logger.log(f"Stage [Warming up]: Main network with "
                        f"{cfg.optim.warmup_epochs} epochs")
             for epoch in range(self.start_epoch, cfg.optim.warmup_epochs):
@@ -414,7 +446,7 @@ class UnimodalTrainer:
         state = AdaMMLTrainState.create(
             variables["params"], variables.get("batch_stats", {}),
             self.tx.init(variables["params"]), None)
-        self.state = replicate(state, self.mesh)
+        self.state = place_on_mesh(state, self.mesh)
         self.train_step = make_unimodal_train_step(
             self.model, self.tx, clip_gradient=cfg.optim.clip_gradient)
         self.eval_step = make_unimodal_eval_step(self.model)
@@ -438,6 +470,10 @@ class UnimodalTrainer:
         self.state, meta = load_checkpoint(resume, self.state)
         self.best_top1 = meta["best_top1"]
         self.start_epoch = meta["epoch"]
+        if "rng" in meta:
+            self.rng = jnp.asarray(meta["rng"], jnp.uint32)
+        if self.plateau is not None and "scheduler" in meta:
+            self.plateau.load_state_dict(meta["scheduler"])
         logger.log(f"=> loaded checkpoint '{resume}' (epoch {meta['epoch']})")
 
     def run(self) -> Dict:
@@ -482,10 +518,12 @@ class UnimodalTrainer:
                 self.best_top1 = max(v["top1"], self.best_top1)
             else:
                 is_best = False
-            save_checkpoint(
-                self.state,
-                {"epoch": epoch + 1, "arch": self.arch_name,
-                 "best_top1": float(self.best_top1), "stage": "unimodal"},
-                self.log_folder, is_best=is_best, epoch=epoch + 1)
+            meta = {"epoch": epoch + 1, "arch": self.arch_name,
+                    "best_top1": float(self.best_top1), "stage": "unimodal",
+                    "rng": np.asarray(jax.device_get(self.rng)).tolist()}
+            if self.plateau is not None:
+                meta["scheduler"] = self.plateau.state_dict()
+            save_checkpoint(self.state, meta, self.log_folder,
+                            is_best=is_best, epoch=epoch + 1)
         logger.close()
         return last

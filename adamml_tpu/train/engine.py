@@ -111,7 +111,7 @@ def train_epoch(loader, preprocess: Callable, step_fn: Callable, state,
 def validate(loader, preprocess: Callable, eval_step: Callable, state,
              *, rng: Optional[jax.Array] = None,
              modality: Optional[Sequence[str]] = None, adamml: bool = True,
-             num_segments: int = 10):
+             num_segments: int = 10, eval_capacity: Optional[float] = None):
     """Full validation pass. Returns a summary dict including the gathered
     outputs / selections (reference validate_adamml contract,
     utils/utils.py:427-507)."""
@@ -154,7 +154,31 @@ def validate(loader, preprocess: Callable, eval_step: Callable, state,
 
     logits = np.concatenate(all_logits, axis=0)
     targets = np.concatenate(all_targets, axis=0)
-    if jax.process_count() > 1:  # multi-host: gather the full eval matrix
+    selections = (np.concatenate(all_selections, axis=0) if all_selections
+                  else None)
+    loss_avg = losses.avg
+
+    dropped = None
+    if (adamml and eval_capacity is not None and eval_capacity < 1.0
+            and selections is not None):
+        # real-conditional-compute packing silently zeroes over-capacity
+        # selections (models/joint_net.py); count them per modality (on the
+        # LOCAL batches -- packing capacity applies per eval batch) so
+        # modeled vs executed selection rates are distinguishable
+        dropped = np.zeros((len(modality),), np.int64)
+        off = 0
+        for n in batch_sizes:
+            dec = selections[off:off + n]            # (n, S, M)
+            rows = dec.shape[0] * dec.shape[1]
+            cap = max(1, int(round(eval_capacity * rows)))
+            picked = dec.reshape(rows, -1).sum(axis=0)
+            dropped += np.maximum(0, picked - cap).astype(np.int64)
+            off += n
+    if jax.process_count() > 1:
+        # multi-host: gather outputs, labels AND selections, and globally
+        # average the loss (reference utils/utils.py:483-490 gathers all
+        # three), so selection rates / npz artifacts / modeled GFLOPs cover
+        # every rank, not just this host's shard
         from jax.experimental import multihost_utils
 
         logits = np.asarray(multihost_utils.process_allgather(logits))
@@ -162,13 +186,31 @@ def validate(loader, preprocess: Callable, eval_step: Callable, state,
         targets = np.asarray(multihost_utils.process_allgather(targets))
         targets = targets.reshape(-1, *targets.shape[2:]) \
             if targets.ndim > 2 else targets.reshape(-1)
+        if selections is not None:
+            selections = np.asarray(
+                multihost_utils.process_allgather(selections))
+            selections = selections.reshape(-1, *selections.shape[2:])
+            sel_rates = selections.mean(axis=(0, 1))
+            for mi, m in enumerate(modality):
+                selection[m] = AverageMeter()
+                selection[m].update(float(sel_rates[mi]))
+        loss_stats = np.asarray(multihost_utils.process_allgather(
+            np.asarray([losses.sum, losses.count], np.float64)))
+        loss_avg = float(loss_stats[:, 0].sum()
+                         / max(1.0, loss_stats[:, 1].sum()))
+        if dropped is not None:
+            dropped = np.asarray(
+                multihost_utils.process_allgather(dropped)).sum(axis=0)
     (t1, t5), mAP = actnet_acc(logits, targets)
 
-    out = {"top1": t1, "top5": t5, "mAP": mAP, "loss": losses.avg,
+    out = {"top1": t1, "top5": t5, "mAP": mAP, "loss": loss_avg,
            "batch_time": batch_time.avg, "outputs": logits,
            "selection": {m: v.avg for m, v in selection.items()}}
     if adamml:
-        out["all_selections"] = np.concatenate(all_selections, axis=0)
+        out["all_selections"] = selections
         out["flops"] = flops_computation(
             modality, {m: v.avg for m, v in selection.items()}, num_segments)
+        if dropped is not None:
+            out["capacity_dropped"] = {
+                m: int(dropped[mi]) for mi, m in enumerate(modality)}
     return out

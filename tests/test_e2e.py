@@ -32,6 +32,10 @@ def tiny_cfg(tmp_path, modality=("rgb", "sound"), **over):
     cfg.optim.p_lr = 0.01
     cfg.optim.lr_scheduler = "multisteps"
     cfg.data.dataset = "synthetic"
+    # AdaMML multi-segment training requires dense sampling: the reference's
+    # uniform train sampler ignores num_clips (utils/video_dataset.py:135-170)
+    # and README's canonical commands always pass --dense_sampling
+    cfg.data.dense_sampling = True
     cfg.data.synthetic_length = 8
     cfg.data.input_size = 32
     cfg.data.canvas_size = (64, 96)
@@ -270,3 +274,58 @@ class TestUnimodal:
         t = UnimodalTrainer(cfg)
         result = t.run()
         assert "top1" in result
+
+
+class TestSchedulerCheckpointing:
+    def test_plateau_state_survives_resume(self, tmp_path):
+        """Plateau LR decay must persist across restarts (reference saves
+        p_scheduler/scheduler state dicts, train_adamml.py:373-383)."""
+        from adamml_tpu.train.curriculum import AdaMMLTrainer
+
+        cfg = tiny_cfg(tmp_path, optim__lr_scheduler="plateau")
+        t = AdaMMLTrainer(cfg)
+        # drive the plateau past its patience so the LR actually decays
+        for _ in range(12):
+            t.plateau.step(1.0)
+            t.p_plateau.step(1.0)
+        assert t.plateau.lr == pytest.approx(cfg.optim.lr * 0.1)
+        t.save(3, "alternative_training", "_main")
+
+        cfg2 = tiny_cfg(tmp_path, optim__lr_scheduler="plateau")
+        cfg2.runtime.auto_resume = True
+        t2 = AdaMMLTrainer(cfg2)
+        t2.maybe_resume(type("L", (), {"log": lambda self, m: None})())
+        assert t2.plateau.lr == pytest.approx(cfg.optim.lr * 0.1)
+        assert t2.p_plateau.lr == pytest.approx(cfg.optim.p_lr * 0.1)
+        # trainer rng restored too, so data order/gumbel draws continue
+        assert np.array_equal(np.asarray(jax.device_get(t2.rng)),
+                              np.asarray(jax.device_get(t.rng)))
+
+
+class TestFlagValidation:
+    """Flags that can't work must fail loudly, not parse-and-ignore."""
+
+    @pytest.mark.parametrize("argv", [
+        ["--num_crops", "3"],
+        ["--threed_data"],
+        ["--pred_files", "a.npy"],
+        ["--pred_weights", "0.5"],
+        ["--after_softmax"],
+    ])
+    def test_unsupported_flags_error(self, argv):
+        from adamml_tpu.configs.config import arg_parser, validate_args
+
+        parser = arg_parser()
+        args = parser.parse_args(argv)
+        with pytest.raises(SystemExit):
+            validate_args(parser, args)
+
+    def test_random_sampling_reaches_dataset(self, tmp_path):
+        from adamml_tpu.train.curriculum import _make_dataset
+
+        cfg = tiny_cfg(tmp_path, data__random_sampling=True)
+        ds = _make_dataset(cfg, is_train=False, num_clips=2)
+        assert ds.fixed_offset is False
+        cfg2 = tiny_cfg(tmp_path)
+        ds2 = _make_dataset(cfg2, is_train=False, num_clips=2)
+        assert ds2.fixed_offset is True

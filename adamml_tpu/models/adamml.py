@@ -64,6 +64,7 @@ class AdaMML(nn.Module):
     use_pallas_dw: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    bn_groups: int = 1
 
     @property
     def p_modality(self) -> Tuple[str, ...]:
@@ -102,6 +103,7 @@ class AdaMML(nn.Module):
                                use_pallas_dw=self.use_pallas_dw,
                                dtype=self.dtype,
                                bn_axis_name=self.bn_axis_name,
+                               bn_groups=self.bn_groups,
                                name="policy_net")
             decisions, _ = policy(p_x, temperature, train=train)  # (S, M, N)
 
@@ -122,6 +124,7 @@ class AdaMML(nn.Module):
                             eval_capacity=self.eval_capacity,
                             use_pallas_dw=self.use_pallas_dw,
                             dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                            bn_groups=self.bn_groups,
                             name="main_net")
         seg_logits = main(m_x, dec_flat, train=train)  # (N*S, K)
         final = jnp.mean(seg_logits.reshape(n, s, -1), axis=1)  # segment mean

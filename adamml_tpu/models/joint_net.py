@@ -48,6 +48,7 @@ class JointMainNet(nn.Module):
     use_pallas_dw: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    bn_groups: int = 1
 
     def _backbone(self, m: str):
         if m != "sound":
@@ -56,10 +57,12 @@ class JointMainNet(nn.Module):
                              without_t_stride=self.without_t_stride,
                              pooling_method=self.pooling_method,
                              dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                             bn_groups=self.bn_groups,
                              name=f"net_{m}")
         return MobileNetV2(num_classes=self.num_classes, dropout=self.dropout,
                            use_pallas_dw=self.use_pallas_dw,
                            dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                           bn_groups=self.bn_groups,
                            name=f"net_{m}")
 
     @nn.compact

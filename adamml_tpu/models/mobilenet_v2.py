@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.temporal import temporal_pool
+from .norm import GroupedBatchNorm
 
 # t (expansion), c (channels), n (blocks), s (stride)
 # reference models/sound_mobilenet_v2.py:101-110 == models/policy_net.py:102-111
@@ -58,6 +59,7 @@ class _ConvBNReLU6(nn.Module):
     groups: int = 1
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    bn_groups: int = 1
     use_pallas_dw: bool = False
 
     @nn.compact
@@ -77,9 +79,10 @@ class _ConvBNReLU6(nn.Module):
                                  (self.kernel // 2, self.kernel // 2)],
                         feature_group_count=self.groups, use_bias=False,
                         dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         axis_name=self.bn_axis_name, name="bn")(x)
+        x = GroupedBatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             axis_name=self.bn_axis_name,
+                             groups=self.bn_groups, name="bn")(x)
         return jax.nn.relu6(x)
 
 
@@ -110,6 +113,7 @@ class InvertedResidual(nn.Module):
     expand_ratio: int
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    bn_groups: int = 1
     use_pallas_dw: bool = False
 
     @nn.compact
@@ -121,16 +125,19 @@ class InvertedResidual(nn.Module):
         if self.expand_ratio != 1:
             out = _ConvBNReLU6(hidden, 1, 1, dtype=self.dtype,
                                bn_axis_name=self.bn_axis_name,
+                               bn_groups=self.bn_groups,
                                name="pw")(out, train)
         out = _ConvBNReLU6(hidden, 3, self.strides, groups=hidden,
                            dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                           bn_groups=self.bn_groups,
                            use_pallas_dw=self.use_pallas_dw,
                            name="dw")(out, train)
         out = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                       name="pw_linear")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype,
-                           axis_name=self.bn_axis_name, name="bn_linear")(out)
+        out = GroupedBatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, dtype=self.dtype,
+                               axis_name=self.bn_axis_name,
+                               groups=self.bn_groups, name="bn_linear")(out)
         return x + out if use_res else out
 
 
@@ -157,6 +164,7 @@ class MobileNetV2(nn.Module):
     use_pallas_dw: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    bn_groups: int = 1
 
     @property
     def last_channel(self) -> int:
@@ -171,6 +179,7 @@ class MobileNetV2(nn.Module):
         input_channel = make_divisible(32 * self.width_mult)
         x = _ConvBNReLU6(input_channel, 3, 2, dtype=self.dtype,
                          bn_axis_name=self.bn_axis_name,
+                         bn_groups=self.bn_groups,
                          name="features_0")(x, train)
 
         cur_frames = f
@@ -187,12 +196,14 @@ class MobileNetV2(nn.Module):
                 x = InvertedResidual(out_ch, s if i == 0 else 1, t,
                                      dtype=self.dtype,
                                      bn_axis_name=self.bn_axis_name,
+                                     bn_groups=self.bn_groups,
                                      use_pallas_dw=self.use_pallas_dw,
                                      name=f"features_{idx}")(x, train)
                 idx += 1
 
         x = _ConvBNReLU6(self.last_channel, 1, 1, dtype=self.dtype,
                          bn_axis_name=self.bn_axis_name,
+                         bn_groups=self.bn_groups,
                          name="conv_last")(x, train)
         x = jnp.mean(x, axis=(1, 2))  # (N*F_out, last_channel)
 

@@ -31,6 +31,20 @@ def _bn_axis(cfg: ExperimentConfig) -> Optional[str]:
     return None
 
 
+def _bn_groups(cfg: ExperimentConfig) -> int:
+    """Moment scope for GroupedBatchNorm (models/norm.py). The reference's
+    DEFAULT is per-replica BN; SyncBN is opt-in via --sync-bn (reference
+    train_adamml.py:125-127, opts.py:131). Per-replica = one moment group per
+    data-parallel shard; --sync-bn = one global group."""
+    if cfg.runtime.sync_bn:
+        return 1
+    model = max(1, cfg.runtime.mesh_model)
+    data = cfg.runtime.mesh_data
+    if data is None or data <= 0:
+        data = max(1, len(jax.devices()) // model)
+    return data
+
+
 def build_model(cfg: ExperimentConfig) -> Tuple[object, str]:
     m = cfg.model
     if m.backbone_net == "adamml":
@@ -44,18 +58,19 @@ def build_model(cfg: ExperimentConfig) -> Tuple[object, str]:
             rng_threshold=m.rng_threshold,
             policy_input_size=m.policy_input_size,
             eval_capacity=m.eval_capacity, use_pallas_dw=m.use_pallas_dw,
-            dtype=_dtype(cfg), bn_axis_name=_bn_axis(cfg))
+            dtype=_dtype(cfg), bn_axis_name=_bn_axis(cfg),
+            bn_groups=_bn_groups(cfg))
     elif m.backbone_net == "resnet":
         model = ResNetTSN(
             depth=m.depth, num_classes=m.num_classes, dropout=m.dropout,
             without_t_stride=m.without_t_stride,
             pooling_method=m.pooling_method, dtype=_dtype(cfg),
-            bn_axis_name=_bn_axis(cfg))
+            bn_axis_name=_bn_axis(cfg), bn_groups=_bn_groups(cfg))
     elif m.backbone_net == "sound_mobilenet_v2":
         model = MobileNetV2(
             num_classes=m.num_classes, dropout=m.dropout,
             use_pallas_dw=m.use_pallas_dw, dtype=_dtype(cfg),
-            bn_axis_name=_bn_axis(cfg))
+            bn_axis_name=_bn_axis(cfg), bn_groups=_bn_groups(cfg))
     else:
         raise ValueError(f"unknown backbone_net {m.backbone_net!r}")
     return model, arch_name(cfg)

@@ -1,0 +1,93 @@
+"""Batch normalization with selectable moment scope.
+
+Under GSPMD jit, a plain flax BatchNorm reduces over the FULL logical batch
+-- i.e. torch SyncBatchNorm semantics -- because XLA inserts the cross-shard
+collective for the sharded batch axis. But the reference's *default* is
+per-replica (local) BN; SyncBN is opt-in via --sync-bn (reference
+train_adamml.py:125-127, opts.py:131). This module makes both expressible in
+one jit program:
+
+  groups=1           -> global moments (SyncBN; the GSPMD default)
+  groups=G           -> moments per contiguous leading-axis group. When G
+                        equals the data-parallel mesh size, groups coincide
+                        with shards (NamedSharding splits the leading axis
+                        into contiguous blocks), so the reduction is
+                        shard-local: exact torch per-replica BN, with no
+                        cross-chip collective in the moments.
+
+Running statistics under groups>1 follow torch DDP's broadcast_buffers=True
+net effect: rank 0's buffers win every step, so we update with group 0's
+moments.
+
+Parameter/stat names and dtypes match flax nn.BatchNorm ("scale"/"bias"
+params, "mean"/"var" batch_stats, fp32) so checkpoints and the torch
+converter are unaffected.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class GroupedBatchNorm(nn.Module):
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+            y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(
+                var + self.epsilon)
+            return (y * scale + bias).astype(self.dtype)
+
+        xf = x.astype(jnp.float32)
+        n = x.shape[0]
+        g = self.groups
+        if g > 1 and n % g == 0 and n >= g:
+            # per-group moments over (rows-in-group, spatial...) per channel
+            xg = xf.reshape((g, n // g) + x.shape[1:])
+            red = tuple(range(1, xg.ndim - 1))
+            mean_g = xg.mean(red)                        # (G, C)
+            var_g = (jnp.square(xg).mean(red) - jnp.square(mean_g))
+            bshape = (g,) + (1,) * (xg.ndim - 2) + (features,)
+            y = (xg - mean_g.reshape(bshape)) * jax.lax.rsqrt(
+                var_g.reshape(bshape) + self.epsilon)
+            y = y.reshape(x.shape)
+            upd_mean, upd_var = mean_g[0], var_g[0]      # rank-0 buffers win
+        else:
+            # global moments (also the fallback when the batch doesn't split,
+            # e.g. model init on a tiny example batch)
+            red = tuple(range(xf.ndim - 1))
+            mean = xf.mean(red)
+            var = jnp.square(xf).mean(red) - jnp.square(mean)
+            if self.axis_name is not None:  # shard_map callers
+                mean = jax.lax.pmean(mean, self.axis_name)
+                var = jax.lax.pmean(
+                    var + jnp.square(xf.mean(red) - mean), self.axis_name)
+            y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+            upd_mean, upd_var = mean, var
+
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * upd_mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * upd_var
+        return (y * scale + bias).astype(self.dtype)

@@ -74,6 +74,7 @@ class PolicyNet(nn.Module):
     use_pallas_dw: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, p_x: Sequence[jax.Array], temperature, train: bool = False):
@@ -88,6 +89,7 @@ class PolicyNet(nn.Module):
                                 use_pallas_dw=self.use_pallas_dw,
                                 dtype=self.dtype,
                                 bn_axis_name=self.bn_axis_name,
+                                bn_groups=self.bn_groups,
                                 name=f"net_{m}")
             f = trunk(xf, train=train, features=True)  # (N*S, F_out, 1280)
             feats.append(jnp.mean(f, axis=1))  # F_out == 1 in reference configs

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.temporal import temporal_pool
+from .norm import GroupedBatchNorm
 
 # depth -> (block kind, per-stage counts); reference models/resnet.py:123-129
 RESNET_LAYERS = {
@@ -42,15 +43,17 @@ class _ConvBN(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.Conv(self.features, self.kernel, self.strides,
                     padding=[(k // 2, k // 2) for k in self.kernel],
                     use_bias=False, dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         axis_name=self.bn_axis_name, name="bn")(x)
+        x = GroupedBatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             axis_name=self.bn_axis_name,
+                             groups=self.bn_groups, name="bn")(x)
         return x
 
 
@@ -61,18 +64,20 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
         out = _ConvBN(self.planes, (3, 3), self.strides, self.dtype,
-                      self.bn_axis_name, name="cb1")(x, train)
+                      self.bn_axis_name, self.bn_groups, name="cb1")(x, train)
         out = nn.relu(out)
         out = _ConvBN(self.planes, (3, 3), (1, 1), self.dtype,
-                      self.bn_axis_name, name="cb2")(out, train)
+                      self.bn_axis_name, self.bn_groups, name="cb2")(out, train)
         if self.downsample:
             identity = _ConvBN(self.planes, (1, 1), self.strides, self.dtype,
-                               self.bn_axis_name, name="downsample")(x, train)
+                               self.bn_axis_name, self.bn_groups,
+                               name="downsample")(x, train)
         return nn.relu(out + identity)
 
 
@@ -83,19 +88,22 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
         out = nn.relu(_ConvBN(self.planes, (1, 1), (1, 1), self.dtype,
-                              self.bn_axis_name, name="cb1")(x, train))
+                              self.bn_axis_name, self.bn_groups,
+                              name="cb1")(x, train))
         out = nn.relu(_ConvBN(self.planes, (3, 3), self.strides, self.dtype,
-                              self.bn_axis_name, name="cb2")(out, train))
+                              self.bn_axis_name, self.bn_groups,
+                              name="cb2")(out, train))
         out = _ConvBN(self.planes * 4, (1, 1), (1, 1), self.dtype,
-                      self.bn_axis_name, name="cb3")(out, train)
+                      self.bn_axis_name, self.bn_groups, name="cb3")(out, train)
         if self.downsample:
             identity = _ConvBN(self.planes * 4, (1, 1), self.strides,
-                               self.dtype, self.bn_axis_name,
+                               self.dtype, self.bn_axis_name, self.bn_groups,
                                name="downsample")(x, train)
         return nn.relu(out + identity)
 
@@ -114,6 +122,7 @@ class ResNetTSN(nn.Module):
     pooling_method: str = "max"
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    bn_groups: int = 1
 
     @property
     def feature_dim(self) -> int:
@@ -138,9 +147,10 @@ class ResNetTSN(nn.Module):
         # stem (reference models/resnet.py:138-141)
         x = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         axis_name=self.bn_axis_name, name="bn1")(x)
+        x = GroupedBatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             axis_name=self.bn_axis_name,
+                             groups=self.bn_groups, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -153,7 +163,7 @@ class ResNetTSN(nn.Module):
                 needs_ds = (b == 0 and
                             (strides != (1, 1) or inplanes != planes * expansion))
                 x = block(planes, strides if b == 0 else (1, 1), needs_ds,
-                          self.dtype, self.bn_axis_name,
+                          self.dtype, self.bn_axis_name, self.bn_groups,
                           name=f"layer{stage + 1}_{b}")(x, train)
                 inplanes = planes * expansion
             # temporal pooling after layers 1-3 (reference models/resnet.py:145-154)

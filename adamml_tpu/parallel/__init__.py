@@ -1,4 +1,6 @@
-from .mesh import make_mesh, shard_batch, replicate, param_shardings, batch_spec
+from .mesh import (make_mesh, shard_batch, place_on_mesh, replicate,
+                   param_shardings, batch_spec)
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "param_shardings",
+__all__ = ["make_mesh", "shard_batch", "place_on_mesh", "replicate",
+           "param_shardings",
            "batch_spec"]

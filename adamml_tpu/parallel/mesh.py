@@ -56,14 +56,19 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(put, batch)
 
 
-# parameter paths whose kernels are worth sharding over the 'model' axis
-# (the wide layers: joint MLPs, classifier heads, LSTM input projection)
-_TP_KEYS = ("joint_fc1", "joint_fc2", "fc", "classifier", "ih", "hh")
+# module names whose Dense 'kernel' is worth column-sharding over the
+# 'model' axis (the wide layers: joint MLPs, classifier heads, LSTM
+# projections). Matched EXACTLY against the kernel's parent module name so a
+# future param that merely contains one of these substrings is not sharded
+# by accident.
+_TP_MODULES = frozenset(
+    {"joint_fc1", "joint_fc2", "fc", "classifier", "ih", "hh"})
 
 
 def _spec_for_param(path, leaf, model_size: int) -> P:
     names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-    if (leaf.ndim == 2 and any(k in names for k in _TP_KEYS)
+    if (leaf.ndim == 2 and len(names) >= 2 and names[-1] == "kernel"
+            and names[-2] in _TP_MODULES
             and leaf.shape[1] % model_size == 0):
         return P(None, "model")  # column-parallel kernel
     return P()
@@ -79,7 +84,13 @@ def param_shardings(mesh: Mesh, tree):
     return jax.tree_util.tree_map_with_path(to_sharding, tree)
 
 
-def replicate(tree, mesh: Mesh):
-    """Place a pytree on the mesh with the param sharding rules applied."""
+def place_on_mesh(tree, mesh: Mesh):
+    """Place a pytree on the mesh with the param sharding rules applied:
+    replicated by default, tensor-parallel specs on the wide kernels (NOT
+    pure replication when mesh_model > 1)."""
     shardings = param_shardings(mesh, tree)
     return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+
+# deprecated alias (the old name misstated the contract)
+replicate = place_on_mesh

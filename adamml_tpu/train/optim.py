@@ -24,6 +24,7 @@ import dataclasses
 from typing import Any, Optional
 
 import jax
+import jax.flatten_util  # registers jax.flatten_util.ravel_pytree
 import jax.numpy as jnp
 import optax
 
@@ -65,11 +66,86 @@ class OptimizerBundle:
         return new_params, OptimizerBundle(self.tx, new_state)
 
 
-def build_optimizer(kind: str, cfg_optim) -> optax.GradientTransformation:
+@dataclasses.dataclass(frozen=True)
+class FusedSGD:
+    """torch-SGD over ONE raveled parameter vector.
+
+    The per-tensor optax path emits one update per parameter tensor
+    (hundreds of tiny elementwise kernels); raveling collapses the whole
+    update into a handful of full-width passes, which measures dramatically
+    faster on the TPU runtime (see tools/bench_update.py / BENCH.md).
+    Matches torch SGD exactly: L2 decay added to the grad, heavy-ball
+    momentum (dampening 0), optional nesterov.
+    """
+
+    momentum: float
+    nesterov: bool
+    weight_decay: float
+
+    def init(self, params):
+        if not self.momentum:
+            return {}
+        flat, _ = jax.flatten_util.ravel_pytree(params)
+        return {"trace": jnp.zeros_like(flat)}
+
+    def apply(self, grads, state, params, lr):
+        """(new_params, new_state); lr applied here (scalar arg, no
+        recompiles across epochs)."""
+        flat_p, unravel = jax.flatten_util.ravel_pytree(params)
+        flat_g, _ = jax.flatten_util.ravel_pytree(grads)
+        flat_g = flat_g.astype(jnp.float32)
+        g = flat_g + self.weight_decay * flat_p if self.weight_decay else flat_g
+        if self.momentum:
+            v = self.momentum * state["trace"] + g
+            upd = g + self.momentum * v if self.nesterov else v
+            state = {"trace": v}
+        else:
+            upd = g
+        return unravel(flat_p - lr * upd), state
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedAdam:
+    """torch-Adam (L2 decay in the grad, NOT AdamW) over one raveled
+    vector; bias-corrected, eps outside the sqrt like torch/optax."""
+
+    weight_decay: float
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+
+    def init(self, params):
+        flat, _ = jax.flatten_util.ravel_pytree(params)
+        return {"mu": jnp.zeros_like(flat), "nu": jnp.zeros_like(flat),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def apply(self, grads, state, params, lr):
+        flat_p, unravel = jax.flatten_util.ravel_pytree(params)
+        flat_g, _ = jax.flatten_util.ravel_pytree(grads)
+        flat_g = flat_g.astype(jnp.float32)
+        g = flat_g + self.weight_decay * flat_p if self.weight_decay else flat_g
+        count = state["count"] + 1
+        mu = self.b1 * state["mu"] + (1.0 - self.b1) * g
+        nu = self.b2 * state["nu"] + (1.0 - self.b2) * jnp.square(g)
+        t = count.astype(jnp.float32)
+        mu_hat = mu / (1.0 - self.b1 ** t)
+        nu_hat = nu / (1.0 - self.b2 ** t)
+        upd = mu_hat / (jnp.sqrt(nu_hat) + self.eps)
+        new_state = {"mu": mu, "nu": nu, "count": count}
+        return unravel(flat_p - lr * upd), new_state
+
+
+def build_optimizer(kind: str, cfg_optim):
+    fused = getattr(cfg_optim, "fused_update", True)
     if kind == "main":  # SGD (reference train_adamml.py:254-257)
+        if fused:
+            return FusedSGD(cfg_optim.momentum, cfg_optim.nesterov,
+                            cfg_optim.weight_decay)
         return sgd_transform(cfg_optim.momentum, cfg_optim.nesterov,
                              cfg_optim.weight_decay)
     if kind == "policy":  # Adam (reference train_adamml.py:251)
+        if fused:
+            return FusedAdam(cfg_optim.weight_decay)
         return adam_transform(cfg_optim.weight_decay)
     raise ValueError(kind)
 

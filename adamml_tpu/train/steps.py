@@ -28,6 +28,18 @@ from .optim import clip_by_global_norm
 from .train_state import AdaMMLTrainState, StageFlags
 
 
+def _apply_update(tx, grads, opt_state, params, lr):
+    """One optimizer update. Fused optimizers (optim.FusedSGD/FusedAdam)
+    consume/produce the raveled vector in a handful of full-width kernels;
+    the optax path emits per-tensor updates."""
+    if hasattr(tx, "apply"):
+        return tx.apply(grads, opt_state, params, lr)
+    updates, new_state = tx.update(grads, opt_state, params)
+    new_params = jax.tree_util.tree_map(
+        lambda p, u: p - lr * u.astype(p.dtype), params, updates)
+    return new_params, new_state
+
+
 def _step_rngs(rng: jax.Array, step: jax.Array) -> dict:
     base = jax.random.fold_in(rng, step)
     return {"gumbel": jax.random.fold_in(base, 0),
@@ -85,17 +97,13 @@ def make_adamml_train_step(model, tx_main, tx_policy, *,
         params = dict(state.params)
         main_opt, policy_opt = state.main_opt, state.policy_opt
         if flags.update_main:
-            updates, main_opt = tx_main.update(
-                grads["main_net"], state.main_opt, params["main_net"])
-            params["main_net"] = jax.tree_util.tree_map(
-                lambda p, u: p - lr * u.astype(p.dtype),
-                params["main_net"], updates)
+            params["main_net"], main_opt = _apply_update(
+                tx_main, grads["main_net"], state.main_opt,
+                params["main_net"], lr)
         if flags.update_policy and has_policy_params:
-            updates, policy_opt = tx_policy.update(
-                grads["policy_net"], state.policy_opt, params["policy_net"])
-            params["policy_net"] = jax.tree_util.tree_map(
-                lambda p, u: p - p_lr * u.astype(p.dtype),
-                params["policy_net"], updates)
+            params["policy_net"], policy_opt = _apply_update(
+                tx_policy, grads["policy_net"], state.policy_opt,
+                params["policy_net"], p_lr)
 
         metrics = {"loss": loss, "cls_loss": cls_loss,
                    "policy_loss": policy_loss,
@@ -141,9 +149,8 @@ def make_unimodal_train_step(model, tx, *, clip_gradient: Optional[float]):
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         grads = clip_by_global_norm(grads, clip_gradient)
-        updates, main_opt = tx.update(grads, state.main_opt, state.params)
-        params = jax.tree_util.tree_map(
-            lambda p, u: p - lr * u.astype(p.dtype), state.params, updates)
+        params, main_opt = _apply_update(tx, grads, state.main_opt,
+                                         state.params, lr)
         metrics = {"loss": loss, **_topk_metrics(logits, target)}
         new_state = state.replace(params=params, batch_stats=new_stats,
                                   main_opt=main_opt, step=state.step + 1)

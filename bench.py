@@ -35,9 +35,7 @@ BASELINE_VIDEOS_PER_SEC = (REF_PEAK_TFLOPS_FP32 * 1e12 * REF_MFU) / (
 V5E_PEAK_TFLOPS_BF16 = 197.0
 
 
-def main() -> int:
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+def measure(batch: int, steps: int) -> dict:
 
     from __graft_entry__ import _flagship_cfg
     from adamml_tpu.models.model_builder import (build_model, example_inputs,
@@ -101,12 +99,30 @@ def main() -> int:
         "unit": "clips/sec/chip",
         "vs_baseline": round(videos_per_sec / BASELINE_VIDEOS_PER_SEC, 3),
     }
-    print(json.dumps(result))
     print(f"# batch={batch} steps={steps} step_time={dt * 1000:.1f}ms "
           f"(T({small})={t_small:.2f}s T({steps})={t_large:.2f}s) "
           f"modeled-MFU~{mfu * 100:.1f}% "
           f"baseline_est={BASELINE_VIDEOS_PER_SEC:.1f} clips/s (V100 fp32 "
           f"@40% MFU on the reference's own FLOPs model)", file=sys.stderr)
+    return result
+
+
+def main() -> int:
+    # explicit batch: measure just that config. No args: sweep the honest
+    # per-chip batch sizes and report the best (same protocol each) -- the
+    # reference trains at global batch 72 over many GPUs, so per-chip batch
+    # is free to pick.
+    if len(sys.argv) > 1:
+        batch = int(sys.argv[1])
+        steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+        print(json.dumps(measure(batch, steps)))
+        return 0
+    best = None
+    for batch in (8, 16, 24):
+        r = measure(batch, 20)
+        if best is None or r["value"] > best["value"]:
+            best = r
+    print(json.dumps(best))
     return 0
 
 

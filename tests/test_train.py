@@ -160,3 +160,98 @@ class TestOptimizers:
         assert norm == pytest.approx(1.0, rel=1e-4)
         same = clip_by_global_norm(grads, 1e9)
         np.testing.assert_allclose(np.asarray(same["a"]), 3.0)
+
+
+class TestFusedOptimizers:
+    """FusedSGD/FusedAdam (raveled-vector updates) must match the per-tensor
+    optax path bit-for-bit in math (same torch semantics)."""
+
+    def _tree(self):
+        import numpy as np
+        rng = np.random.RandomState(0)
+        return {
+            "a": {"kernel": jnp.asarray(rng.randn(16, 8), jnp.float32),
+                  "bias": jnp.asarray(rng.randn(8), jnp.float32)},
+            "b": {"scale": jnp.asarray(rng.randn(8), jnp.float32)},
+        }
+
+    def _grads(self, step):
+        import numpy as np
+        rng = np.random.RandomState(100 + step)
+        return {
+            "a": {"kernel": jnp.asarray(rng.randn(16, 8), jnp.float32) * 0.1,
+                  "bias": jnp.asarray(rng.randn(8), jnp.float32) * 0.1},
+            "b": {"scale": jnp.asarray(rng.randn(8), jnp.float32) * 0.1},
+        }
+
+    def _run_pair(self, fused_tx, optax_tx, lr, steps=5):
+        import numpy as np
+        from adamml_tpu.train.steps import _apply_update
+
+        p_f, s_f = self._tree(), fused_tx.init(self._tree())
+        p_o, s_o = self._tree(), optax_tx.init(self._tree())
+        for t in range(steps):
+            g = self._grads(t)
+            p_f, s_f = _apply_update(fused_tx, g, s_f, p_f, lr)
+            p_o, s_o = _apply_update(optax_tx, g, s_o, p_o, lr)
+        for x, y in zip(jax.tree_util.tree_leaves(p_f),
+                        jax.tree_util.tree_leaves(p_o)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_fused_sgd_matches_optax(self):
+        from adamml_tpu.train.optim import FusedSGD, sgd_transform
+
+        self._run_pair(FusedSGD(0.9, False, 1e-4),
+                       sgd_transform(0.9, False, 1e-4), 0.01)
+
+    def test_fused_sgd_nesterov_matches_optax(self):
+        from adamml_tpu.train.optim import FusedSGD, sgd_transform
+
+        self._run_pair(FusedSGD(0.9, True, 1e-4),
+                       sgd_transform(0.9, True, 1e-4), 0.01)
+
+    def test_fused_adam_matches_optax(self):
+        from adamml_tpu.train.optim import FusedAdam, adam_transform
+
+        self._run_pair(FusedAdam(1e-4), adam_transform(1e-4), 0.001)
+
+    def test_fused_sgd_matches_torch(self):
+        import numpy as np
+        import torch
+        from adamml_tpu.train.optim import FusedSGD
+        from adamml_tpu.train.steps import _apply_update
+
+        w0 = np.random.RandomState(7).randn(4, 3).astype(np.float32)
+        tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        opt = torch.optim.SGD([tw], lr=0.01, momentum=0.9, weight_decay=1e-4)
+        tx = FusedSGD(0.9, False, 1e-4)
+        p, s = {"w": jnp.asarray(w0)}, tx.init({"w": jnp.asarray(w0)})
+        for t in range(4):
+            g = np.random.RandomState(50 + t).randn(4, 3).astype(np.float32)
+            opt.zero_grad()
+            tw.grad = torch.from_numpy(g.copy())
+            opt.step()
+            p, s = _apply_update(tx, {"w": jnp.asarray(g)}, s, p, 0.01)
+        np.testing.assert_allclose(np.asarray(p["w"]), tw.detach().numpy(),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_fused_adam_matches_torch(self):
+        import numpy as np
+        import torch
+        from adamml_tpu.train.optim import FusedAdam
+        from adamml_tpu.train.steps import _apply_update
+
+        w0 = np.random.RandomState(9).randn(4, 3).astype(np.float32)
+        tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        opt = torch.optim.Adam([tw], lr=0.001, weight_decay=1e-4)
+        tx = FusedAdam(1e-4)
+        p, s = {"w": jnp.asarray(w0)}, tx.init({"w": jnp.asarray(w0)})
+        for t in range(4):
+            g = np.random.RandomState(80 + t).randn(4, 3).astype(np.float32)
+            opt.zero_grad()
+            tw.grad = torch.from_numpy(g.copy())
+            opt.step()
+            p, s = _apply_update(tx, {"w": jnp.asarray(g)}, s, p, 0.001)
+        np.testing.assert_allclose(np.asarray(p["w"]), tw.detach().numpy(),
+                                   rtol=1e-5, atol=1e-6)

@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Microbenchmark: optimizer-update cost, per-tensor optax vs fused vector.
+
+Round-1 bisection (BENCH.md) found the flagship step spends ~24 ms applying
+optimizer updates -- ~10x the bandwidth bound for 60M params. Hypothesis:
+per-tensor overhead (hundreds of tiny elementwise kernels). This times
+update-only jitted functions over the REAL flagship parameter trees:
+
+  sgd/optax    per-tensor torch-SGD (momentum) over main_net
+  sgd/fused    raveled-vector FusedSGD over main_net
+  adam/optax   per-tensor torch-Adam over policy_net
+  adam/fused   raveled-vector FusedAdam over policy_net
+
+Protocol identical to bench.py: per-step varying inputs, value-fetch sync,
+marginal time between short and long runs.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+
+def time_fn(fn, state0, grads, steps=30):
+    def run(n, st):
+        out = None
+        for i in range(n):
+            g = jax.tree_util.tree_map(
+                lambda x: x * (1.0 + 1e-6 * i), grads)
+            st, out = fn(st, g)
+            out, st = out, st
+        float(jax.device_get(jax.tree_util.tree_leaves(st)[0].ravel()[0]))
+        return st
+
+    st = run(2, state0)  # compile
+    t0 = time.perf_counter()
+    st = run(steps // 3, st)
+    t1 = time.perf_counter()
+    st = run(steps, st)
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (steps - steps // 3)
+
+
+def main():
+    from __graft_entry__ import _flagship_cfg
+    from adamml_tpu.models.model_builder import (build_model, example_inputs,
+                                                 init_model)
+    from adamml_tpu.train.optim import (FusedAdam, FusedSGD, adam_transform,
+                                        sgd_transform)
+
+    cfg = _flagship_cfg()
+    model, _ = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    inputs = example_inputs(cfg, batch=2, num_segments=5, rng=rng)
+    variables = init_model(model, cfg, inputs, rng, train=True)
+    params = variables["params"]
+
+    def n_params(tree):
+        return sum(int(x.size) for x in jax.tree_util.tree_leaves(tree))
+
+    results = {}
+    for name, subtree, makers in [
+        ("sgd", params["main_net"], [
+            ("optax", sgd_transform(0.9, False, 1e-4)),
+            ("fused", FusedSGD(0.9, False, 1e-4))]),
+        ("adam", params["policy_net"], [
+            ("optax", adam_transform(1e-4)),
+            ("fused", FusedAdam(1e-4))]),
+    ]:
+        grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 1e-3,
+                                       subtree)
+        tensors = len(jax.tree_util.tree_leaves(subtree))
+        for kind, tx in makers:
+            if hasattr(tx, "apply"):
+                @jax.jit
+                def fn(st, g, tx=tx):
+                    p, s = tx.apply(g, st["s"], st["p"], 0.01)
+                    return {"p": p, "s": s}, p
+            else:
+                @jax.jit
+                def fn(st, g, tx=tx):
+                    u, s = tx.update(g, st["s"], st["p"])
+                    p = jax.tree_util.tree_map(
+                        lambda a, b: a - 0.01 * b, st["p"], u)
+                    return {"p": p, "s": s}, p
+            st0 = {"p": subtree, "s": tx.init(subtree)}
+            dt = time_fn(fn, st0, grads)
+            results[f"{name}/{kind}"] = dt
+            print(f"{name}/{kind}: {dt * 1000:.2f} ms  "
+                  f"({n_params(subtree) / 1e6:.1f}M params, "
+                  f"{tensors} tensors)", flush=True)
+
+    for opt in ("sgd", "adam"):
+        a, b = results[f"{opt}/optax"], results[f"{opt}/fused"]
+        print(f"{opt}: fused is {a / max(b, 1e-9):.2f}x vs per-tensor")
+
+
+if __name__ == "__main__":
+    main()

@@ -39,27 +39,45 @@ def _to_saveable(state: AdaMMLTrainState) -> dict:
 def save_checkpoint(state: AdaMMLTrainState, meta: dict, filepath: str,
                     is_best: bool = False, epoch: Optional[int] = None,
                     suffix: str = "") -> str:
-    if jax.process_index() != 0:
-        return os.path.join(filepath, "checkpoint")
-    os.makedirs(filepath, exist_ok=True)
+    """Write the latest checkpoint (+ per-epoch / model_best copies).
+
+    Orbax saves are COLLECTIVE under multi-process jax (it synchronizes all
+    processes around the commit), so every process calls save; orbax writes
+    from the primary only. File bookkeeping (meta, copies) stays on process
+    0, fenced by global syncs -- the moral equivalent of the reference's
+    rank-0 save + dist.barrier (reference train_adamml.py:355,471,583)."""
+    multiproc = jax.process_count() > 1
     path = os.path.abspath(os.path.join(filepath, "checkpoint"))
-    if os.path.exists(path):
+    os.makedirs(filepath, exist_ok=True)
+    if jax.process_index() == 0 and os.path.exists(path):
         shutil.rmtree(path)
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("adamml_ckpt_clean")
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, _to_saveable(jax.device_get(state)))
+    # single process: host arrays (cheap); multi-process: hand orbax the
+    # jax.Arrays so (possibly tensor-parallel-sharded) leaves save correctly
+    payload = _to_saveable(state if multiproc else jax.device_get(state))
+    ckptr.save(path, payload)
     ckptr.wait_until_finished()
-    with open(os.path.join(path, _META), "w") as f:
-        json.dump(meta, f)
-    if epoch is not None:
-        dst = os.path.join(filepath, f"checkpoint{suffix}_{epoch:02d}")
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
-        shutil.copytree(path, dst)
-    if is_best:
-        dst = os.path.join(filepath, "model_best")
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
-        shutil.copytree(path, dst)
+    if jax.process_index() == 0:
+        with open(os.path.join(path, _META), "w") as f:
+            json.dump(meta, f)
+        if epoch is not None:
+            dst = os.path.join(filepath, f"checkpoint{suffix}_{epoch:02d}")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            shutil.copytree(path, dst)
+        if is_best:
+            dst = os.path.join(filepath, "model_best")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            shutil.copytree(path, dst)
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("adamml_ckpt_done")
     return path
 
 

@@ -49,10 +49,21 @@ def batch_spec() -> P:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place host arrays with the leading axis sharded over 'data'."""
+    """Place host arrays with the leading axis sharded over 'data'.
+
+    Single process: a plain device_put. Multi-process: each process holds
+    only ITS loader shard (HostDataLoader num_shards=process_count), so the
+    global array is assembled from the per-process locals -- the GSPMD
+    equivalent of the reference's per-rank DataLoader feeding per-rank GPUs
+    (reference utils/utils.py:153-163)."""
+    multiproc = jax.process_count() > 1
+
     def put(x):
         spec = P("data", *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        s = NamedSharding(mesh, spec)
+        if multiproc:
+            return jax.make_array_from_process_local_data(s, np.asarray(x))
+        return jax.device_put(x, s)
     return jax.tree_util.tree_map(put, batch)
 
 

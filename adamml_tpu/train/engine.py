@@ -28,6 +28,21 @@ def _host(x):
     return np.asarray(jax.device_get(x))
 
 
+def _host_global(x):
+    """Fetch a possibly process-spanning jax.Array as its FULL global value.
+
+    Under multi-process GSPMD, batch-sharded jit outputs span all processes
+    and cannot be fetched directly; an identity reshard to replicated (what
+    process_allgather does for global arrays) yields the full matrix on
+    every process -- the reference's concat_all_gather
+    (utils/utils.py:539-550) in one call."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))
+
+
 def train_epoch(loader, preprocess: Callable, step_fn: Callable, state,
                 *, lr: float, p_lr: float = 0.0,
                 cost_weights: Optional[Sequence[float]] = None,
@@ -142,9 +157,14 @@ def validate(loader, preprocess: Callable, eval_step: Callable, state,
         batch_time.update(time.time() - end)
         end = time.time()
 
-    all_logits = [_host(x) for x in all_logits]
-    all_targets = [_host(x) for x in all_targets]
-    all_selections = [_host(x) for x in all_selections]
+    # fetch GLOBAL matrices: logits, labels AND selections cover every rank
+    # (the reference gathers all three, utils/utils.py:483-490), so accuracy,
+    # selection rates, npz artifacts, and modeled GFLOPs are global on
+    # multi-host runs. Per-batch losses are global means already (GSPMD
+    # reduces over the full sharded batch) and batch sizes are global shapes.
+    all_logits = [_host_global(x) for x in all_logits]
+    all_targets = [_host_global(x) for x in all_targets]
+    all_selections = [_host_global(x) for x in all_selections]
     for n, loss in zip(batch_sizes, jax.device_get(all_losses)):
         losses.update(float(loss), n)
     for dec in all_selections:
@@ -156,15 +176,14 @@ def validate(loader, preprocess: Callable, eval_step: Callable, state,
     targets = np.concatenate(all_targets, axis=0)
     selections = (np.concatenate(all_selections, axis=0) if all_selections
                   else None)
-    loss_avg = losses.avg
 
     dropped = None
     if (adamml and eval_capacity is not None and eval_capacity < 1.0
             and selections is not None):
         # real-conditional-compute packing silently zeroes over-capacity
-        # selections (models/joint_net.py); count them per modality (on the
-        # LOCAL batches -- packing capacity applies per eval batch) so
-        # modeled vs executed selection rates are distinguishable
+        # selections (models/joint_net.py); count them per modality (packing
+        # capacity applies per eval batch) so modeled vs executed selection
+        # rates are distinguishable
         dropped = np.zeros((len(modality),), np.int64)
         off = 0
         for n in batch_sizes:
@@ -174,36 +193,9 @@ def validate(loader, preprocess: Callable, eval_step: Callable, state,
             picked = dec.reshape(rows, -1).sum(axis=0)
             dropped += np.maximum(0, picked - cap).astype(np.int64)
             off += n
-    if jax.process_count() > 1:
-        # multi-host: gather outputs, labels AND selections, and globally
-        # average the loss (reference utils/utils.py:483-490 gathers all
-        # three), so selection rates / npz artifacts / modeled GFLOPs cover
-        # every rank, not just this host's shard
-        from jax.experimental import multihost_utils
-
-        logits = np.asarray(multihost_utils.process_allgather(logits))
-        logits = logits.reshape(-1, logits.shape[-1])
-        targets = np.asarray(multihost_utils.process_allgather(targets))
-        targets = targets.reshape(-1, *targets.shape[2:]) \
-            if targets.ndim > 2 else targets.reshape(-1)
-        if selections is not None:
-            selections = np.asarray(
-                multihost_utils.process_allgather(selections))
-            selections = selections.reshape(-1, *selections.shape[2:])
-            sel_rates = selections.mean(axis=(0, 1))
-            for mi, m in enumerate(modality):
-                selection[m] = AverageMeter()
-                selection[m].update(float(sel_rates[mi]))
-        loss_stats = np.asarray(multihost_utils.process_allgather(
-            np.asarray([losses.sum, losses.count], np.float64)))
-        loss_avg = float(loss_stats[:, 0].sum()
-                         / max(1.0, loss_stats[:, 1].sum()))
-        if dropped is not None:
-            dropped = np.asarray(
-                multihost_utils.process_allgather(dropped)).sum(axis=0)
     (t1, t5), mAP = actnet_acc(logits, targets)
 
-    out = {"top1": t1, "top5": t5, "mAP": mAP, "loss": loss_avg,
+    out = {"top1": t1, "top5": t5, "mAP": mAP, "loss": losses.avg,
            "batch_time": batch_time.avg, "outputs": logits,
            "selection": {m: v.avg for m, v in selection.items()}}
     if adamml:

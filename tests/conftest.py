@@ -27,3 +27,8 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 assert jax.default_backend() == "cpu"
 assert len(jax.devices()) == 8
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy multi-process tests (two cold compiles)")

@@ -136,6 +136,11 @@ class FusedAdam:
 
 
 def build_optimizer(kind: str, cfg_optim):
+    """Measured defaults (BENCH.md): FusedSGD beats per-tensor SGD (1.3x in
+    isolation) so main uses it; fused Adam LOSES in the full step (82.9 vs
+    69.5 ms policy-phase flagship -- the 3 extra ravel/unravel passes over
+    its two state vectors outweigh the per-tensor overhead), so policy keeps
+    per-tensor optax Adam. --no_fused_update forces per-tensor everywhere."""
     fused = getattr(cfg_optim, "fused_update", True)
     if kind == "main":  # SGD (reference train_adamml.py:254-257)
         if fused:
@@ -144,8 +149,6 @@ def build_optimizer(kind: str, cfg_optim):
         return sgd_transform(cfg_optim.momentum, cfg_optim.nesterov,
                              cfg_optim.weight_decay)
     if kind == "policy":  # Adam (reference train_adamml.py:251)
-        if fused:
-            return FusedAdam(cfg_optim.weight_decay)
         return adam_transform(cfg_optim.weight_decay)
     raise ValueError(kind)
 

@@ -74,7 +74,23 @@ def make_adamml_train_step(model, tx_main, tx_policy, *,
              cost_weights, rng):
         rngs = _step_rngs(rng, state.step)
 
-        def loss_fn(params):
+        # Differentiate ONLY the unfrozen subtree(s): the reference freezes
+        # via requires_grad=False so torch never runs the frozen net's
+        # backward (models/adamml.py:114-132). Relying on XLA to DCE the
+        # dead backward does NOT happen in practice (the policy-phase step
+        # compiled to ~the full main-net backward's FLOPs), so freezing is
+        # explicit at the AD level here.
+        def subtree_live(k):
+            return ((k == "main_net" and flags.update_main)
+                    or (k == "policy_net" and flags.update_policy
+                        and has_policy_params))
+
+        live = {k: v for k, v in state.params.items() if subtree_live(k)}
+        frozen = {k: jax.lax.stop_gradient(v)
+                  for k, v in state.params.items() if not subtree_live(k)}
+
+        def loss_fn(live_params):
+            params = {**frozen, **live_params}
             (logits, decisions), mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 inputs, state.temperature, train=True,
@@ -89,9 +105,10 @@ def make_adamml_train_step(model, tx_main, tx_policy, *,
             return total, (logits, decisions, mut["batch_stats"], cls_loss,
                            policy_loss)
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(live)
         logits, decisions, new_stats, cls_loss, policy_loss = aux
+        # reference clips over model.parameters() where frozen params carry
+        # no grads (utils/utils.py:392-393) == clipping the live subtree
         grads = clip_by_global_norm(grads, clip_gradient)
 
         params = dict(state.params)

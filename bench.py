@@ -37,6 +37,8 @@ V5E_PEAK_TFLOPS_BF16 = 197.0
 
 def measure(batch: int, steps: int) -> dict:
 
+    import os
+
     from __graft_entry__ import _flagship_cfg
     from adamml_tpu.models.model_builder import (build_model, example_inputs,
                                                  init_model)
@@ -45,6 +47,10 @@ def measure(batch: int, steps: int) -> dict:
     from adamml_tpu.train.train_state import AdaMMLTrainState, StageFlags
 
     cfg = _flagship_cfg()
+    # A/B knob for update-path experiments (BENCH.md): ADAMML_FUSED=0 forces
+    # per-tensor optax updates
+    if os.environ.get("ADAMML_FUSED") == "0":
+        cfg.optim.fused_update = False
     model, _ = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     inputs = example_inputs(cfg, batch=batch, num_segments=5, rng=rng)

@@ -121,6 +121,10 @@ class OptimConfig:
     # (optim.FusedSGD/FusedAdam) instead of per-tensor optax updates --
     # identical math, far fewer kernels (tools/bench_update.py)
     fused_update: bool = True
+    # TPU-specific: K real optimizer steps per device dispatch via lax.scan
+    # (steps.make_adamml_multi_step) -- amortizes per-dispatch fixed costs;
+    # identical training math. 1 = one dispatch per step (reference shape).
+    steps_per_dispatch: int = 1
 
 
 @dataclasses.dataclass
@@ -243,6 +247,9 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_fused_update", action="store_true",
                    help="per-tensor optax optimizer updates instead of the "
                         "fused raveled-vector update")
+    p.add_argument("--steps_per_dispatch", default=1, type=int,
+                   help="K real optimizer steps per device dispatch "
+                        "(lax.scan); amortizes per-dispatch overhead")
 
     # data
     p.add_argument("-j", "--workers", default=18, type=int)
@@ -346,6 +353,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         clip_gradient=args.clip_gradient, curr_stage=args.curr_stage,
         start_epoch=args.start_epoch,
         fused_update=not args.no_fused_update,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     data = DataConfig(
         datadir=list(args.datadir), dataset=args.dataset,

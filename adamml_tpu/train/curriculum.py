@@ -161,6 +161,17 @@ class AdaMMLTrainer:
             self.model, self.tx_main, self.tx_policy,
             flags=StageFlags.policy_phase(), **common)
         self.eval_step = make_adamml_eval_step(self.model)
+        self.steps_per_dispatch = max(1, cfg.optim.steps_per_dispatch)
+        self.multi_main = self.multi_policy = None
+        if self.steps_per_dispatch > 1:
+            from .steps import make_adamml_multi_step
+
+            self.multi_main = make_adamml_multi_step(
+                self.model, self.tx_main, self.tx_policy,
+                flags=StageFlags.main_phase(), **common)
+            self.multi_policy = make_adamml_multi_step(
+                self.model, self.tx_main, self.tx_policy,
+                flags=StageFlags.policy_phase(), **common)
 
         self.best_top1 = 0.0
         self.curr_stage = cfg.optim.curr_stage
@@ -242,6 +253,8 @@ class AdaMMLTrainer:
             from ..utils.profiling import StepProfiler
 
             profiler = StepProfiler(self.cfg.runtime.profile_dir)
+        multi_fn = (self.multi_main if step_fn is self.step_main
+                    else self.multi_policy)
         self.state, summary = train_epoch(
             self.train_loader, self.train_pre, step_fn, self.state,
             lr=self._lr(epoch, self.cfg.optim.lr, self.plateau),
@@ -249,7 +262,8 @@ class AdaMMLTrainer:
             cost_weights=cost_weights, rng=sub, epoch=epoch,
             modality=self.modality, adamml=True,
             display=self.cfg.runtime.print_freq, rank=self.rank,
-            logger=logger, profiler=profiler)
+            logger=logger, profiler=profiler, multi_step_fn=multi_fn,
+            steps_per_dispatch=self.steps_per_dispatch)
         if profiler is not None:
             profiler.close()
         return summary

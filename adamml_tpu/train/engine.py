@@ -49,8 +49,15 @@ def train_epoch(loader, preprocess: Callable, step_fn: Callable, state,
                 rng: Optional[jax.Array] = None, epoch: int = 0,
                 modality: Optional[Sequence[str]] = None,
                 adamml: bool = True, display: int = 100, rank: int = 0,
-                logger=None, steps_per_epoch: int = 10**12, profiler=None):
-    """One training epoch. Returns (state, summary dict)."""
+                logger=None, steps_per_epoch: int = 10**12, profiler=None,
+                multi_step_fn: Optional[Callable] = None,
+                steps_per_dispatch: int = 1):
+    """One training epoch. Returns (state, summary dict).
+
+    When `multi_step_fn` is given and steps_per_dispatch > 1, batches are
+    preprocessed individually, stacked K at a time, and dispatched as one
+    scanned program of K real optimizer steps (steps.make_adamml_multi_step);
+    a sub-K remainder at the epoch tail runs through the single `step_fn`."""
     batch_time, data_time = AverageMeter(), AverageMeter()
     losses, top1, top5 = AverageMeter(), AverageMeter(), AverageMeter()
     modality = list(modality or [])
@@ -69,37 +76,25 @@ def train_epoch(loader, preprocess: Callable, step_fn: Callable, state,
     # relay), so per-step .item() calls -- the reference's pattern
     # (utils/utils.py:384) -- would serialize host and device. Display
     # points fetch only the most recent step's scalars.
-    pending = []  # (step index, batch size, device metrics)
+    pending = []  # (step index, batch size, device metrics, k)
     end = time.time()
     num_batch = 0
 
     def drain():
-        for _idx, bn, dm in pending:
+        for _idx, bn, dm, k in pending:
             got = jax.device_get(dm)
-            losses.update(float(got["loss"]), bn)
-            top1.update(float(got["top1"]), bn)
-            top5.update(float(got["top5"]), bn)
-            if adamml and modality:
-                sel = np.asarray(got["selection"])
-                for mi, m in enumerate(modality):
-                    selection[m].update(float(sel[mi]))
+            for j in range(k):
+                pick = ((lambda a: a[j]) if k > 1 else (lambda a: a))
+                losses.update(float(pick(got["loss"])), bn)
+                top1.update(float(pick(got["top1"])), bn)
+                top5.update(float(pick(got["top5"])), bn)
+                if adamml and modality:
+                    sel = np.asarray(pick(got["selection"]))
+                    for mi, m in enumerate(modality):
+                        selection[m].update(float(sel[mi]))
         pending.clear()
 
-    for i, host_batch in enumerate(loader):
-        data_time.update(time.time() - end)
-        if profiler is not None:
-            profiler.step(i)
-        inputs, target = preprocess(host_batch)
-        n = int(target.shape[0])
-        if adamml:
-            state, metrics = step_fn(state, inputs, target, lr_a, p_lr_a,
-                                     cw, rng)
-        else:
-            state, metrics = step_fn(state, inputs, target, lr_a, rng)
-        pending.append((i, n, metrics))
-        batch_time.update(time.time() - end)
-        end = time.time()
-        num_batch += 1
+    def maybe_log(i):
         if i % display == 0 and rank == 0 and logger is not None:
             drain()  # sync point, amortized over `display` steps
             sel_msg = " ".join(f"{m}:{v.avg * 100:.2f}"
@@ -112,8 +107,62 @@ def train_epoch(loader, preprocess: Callable, step_fn: Callable, state,
                 f"Prec@1 {top1.val:.3f} ({top1.avg:.3f})\t"
                 f"Prec@5 {top5.val:.3f} ({top5.avg:.3f})\t"
                 + (f"Selection: {sel_msg}" if sel_msg else ""))
+
+    use_multi = (adamml and multi_step_fn is not None
+                 and steps_per_dispatch > 1)
+    acc = []  # preprocessed (inputs, target) awaiting a full dispatch
+
+    def flush(i):
+        nonlocal state, num_batch, end
+        if not acc:
+            return
+        if len(acc) == steps_per_dispatch:
+            import jax.numpy as jnp
+            stacked = [jnp.stack([a[0][mi] for a in acc])
+                       for mi in range(len(acc[0][0]))]
+            targets = jnp.stack([a[1] for a in acc])
+            state, metrics = multi_step_fn(state, stacked, targets, lr_a,
+                                           p_lr_a, cw, rng)
+            pending.append((i, int(acc[0][1].shape[0]), metrics, len(acc)))
+        else:  # epoch-tail remainder: single steps
+            for inputs, target in acc:
+                state, metrics = step_fn(state, inputs, target, lr_a,
+                                         p_lr_a, cw, rng)
+                pending.append((i, int(target.shape[0]), metrics, 1))
+        num_batch += len(acc)
+        dt = (time.time() - end) / len(acc)
+        for _ in range(len(acc)):
+            batch_time.update(dt)
+        acc.clear()
+        end = time.time()
+
+    for i, host_batch in enumerate(loader):
+        data_time.update(time.time() - end)
+        if profiler is not None:
+            profiler.step(i)
+        inputs, target = preprocess(host_batch)
+        if use_multi:
+            acc.append((inputs, target))
+            if len(acc) == steps_per_dispatch:
+                flush(i)
+                maybe_log(i)
+            if i > steps_per_epoch:
+                break
+            continue
+        n = int(target.shape[0])
+        if adamml:
+            state, metrics = step_fn(state, inputs, target, lr_a, p_lr_a,
+                                     cw, rng)
+        else:
+            state, metrics = step_fn(state, inputs, target, lr_a, rng)
+        pending.append((i, n, metrics, 1))
+        batch_time.update(time.time() - end)
+        end = time.time()
+        num_batch += 1
+        maybe_log(i)
         if i > steps_per_epoch:
             break
+    flush(num_batch)
     drain()
 
     summary = {"top1": top1.avg, "top5": top5.avg, "loss": losses.avg,

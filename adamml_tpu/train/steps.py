@@ -63,12 +63,11 @@ def _topk_metrics(logits: jax.Array, targets: jax.Array) -> dict:
     return {"top1": top1, "top5": top5}
 
 
-def make_adamml_train_step(model, tx_main, tx_policy, *,
-                           flags: StageFlags, penalty_type: str,
-                           gammas: float, clip_gradient: Optional[float],
-                           has_policy_params: bool):
-    """Returns jit(step)(state, inputs, target, lr, p_lr, cost_weights, rng)
-    -> (state, metrics)."""
+def _adamml_step_fn(model, tx_main, tx_policy, *, flags: StageFlags,
+                    penalty_type: str, gammas: float,
+                    clip_gradient: Optional[float], has_policy_params: bool):
+    """The raw (unjitted) AdaMML train step: (state, inputs, target, lr,
+    p_lr, cost_weights, rng) -> (state, metrics)."""
 
     def step(state: AdaMMLTrainState, inputs, target, lr, p_lr,
              cost_weights, rng):
@@ -131,7 +130,55 @@ def make_adamml_train_step(model, tx_main, tx_policy, *,
                                   step=state.step + 1)
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_adamml_train_step(model, tx_main, tx_policy, *,
+                           flags: StageFlags, penalty_type: str,
+                           gammas: float, clip_gradient: Optional[float],
+                           has_policy_params: bool):
+    """Returns jit(step)(state, inputs, target, lr, p_lr, cost_weights, rng)
+    -> (state, metrics)."""
+    return jax.jit(_adamml_step_fn(
+        model, tx_main, tx_policy, flags=flags, penalty_type=penalty_type,
+        gammas=gammas, clip_gradient=clip_gradient,
+        has_policy_params=has_policy_params), donate_argnums=(0,))
+
+
+def make_adamml_multi_step(model, tx_main, tx_policy, *, flags: StageFlags,
+                           penalty_type: str, gammas: float,
+                           clip_gradient: Optional[float],
+                           has_policy_params: bool):
+    """K REAL optimizer steps per device dispatch, as one lax.scan.
+
+    Identical math to K calls of the single step (each scan iteration
+    consumes its own batch and applies its own update; the per-step rng is
+    fold_in(rng, state.step) exactly as in the single step). What changes is
+    the execution shape: one dispatch, one output materialization, and one
+    host round-trip amortize over K steps -- the TPU-idiomatic answer to
+    per-step fixed costs (host dispatch, buffer donation bookkeeping,
+    transport overhead on relayed runtimes).
+
+    Signature: jit(multi)(state, stacked_inputs, stacked_targets, lr, p_lr,
+    cost_weights, rng) -> (state, metrics with leading K axis), where
+    stacked_inputs is the per-modality list with a leading K axis.
+    """
+    inner = _adamml_step_fn(
+        model, tx_main, tx_policy, flags=flags, penalty_type=penalty_type,
+        gammas=gammas, clip_gradient=clip_gradient,
+        has_policy_params=has_policy_params)
+
+    def multi(state, stacked_inputs, stacked_targets, lr, p_lr,
+              cost_weights, rng):
+        def body(st, xs):
+            *inputs, target = xs
+            return inner(st, list(inputs), target, lr, p_lr, cost_weights,
+                         rng)
+
+        return jax.lax.scan(body, state,
+                            tuple(stacked_inputs) + (stacked_targets,))
+
+    return jax.jit(multi, donate_argnums=(0,))
 
 
 def make_adamml_eval_step(model):

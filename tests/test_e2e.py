@@ -329,3 +329,70 @@ class TestFlagValidation:
         cfg2 = tiny_cfg(tmp_path)
         ds2 = _make_dataset(cfg2, is_train=False, num_clips=2)
         assert ds2.fixed_offset is True
+
+
+class TestMultiStepDispatch:
+    def test_multi_step_equals_k_single_steps(self, tmp_path):
+        """The scanned step must match the single step semantically.
+
+        Bit-identity across the two compiled programs is not attainable (fp
+        reduction reordering flips borderline Gumbel decisions, which
+        amplifies), so: (a) a K=1 scan on the SAME batch/rng must match the
+        single step to fp tolerance, and (b) a K=2 scan must run both steps
+        with DISTINCT per-step rngs (fold_in on state.step) and advance the
+        step counter by 2."""
+        from adamml_tpu.train.curriculum import AdaMMLTrainer
+
+        cfg = tiny_cfg(tmp_path, optim__steps_per_dispatch=2,
+                       data__synthetic_length=16)
+        t = AdaMMLTrainer(cfg)
+        batches = []
+        it = iter(t.train_loader)
+        for _ in range(2):
+            batches.append(t.train_pre(next(it)))
+        lr = jnp.asarray(0.01)
+        cw = jnp.asarray([1.0, 0.05])
+        rng = jax.random.PRNGKey(7)
+
+        snap = jax.device_get(t.state)
+        inputs, target = batches[0]
+        s1, m_single = t.step_policy(t.state, inputs, target, lr, lr, cw,
+                                     rng)
+        step_single = int(jax.device_get(s1.step))
+
+        # (a) K=1 scan, same batch/rng: forward-path metrics must agree.
+        # (Post-Adam PARAMS are not comparable across compiled programs:
+        # Adam's first step is lr*sign(grad), so near-zero grads amplify fp
+        # reduction-reorder noise into full +-lr sign flips.)
+        s2 = jax.device_put(snap)
+        one = [x[None] for x in batches[0][0]]
+        s2, m_one = t.multi_policy(s2, one, batches[0][1][None], lr, lr, cw,
+                                   rng)
+        for key in ("loss", "cls_loss", "policy_loss", "top1"):
+            np.testing.assert_allclose(float(m_one[key][0]),
+                                       float(m_single[key]), rtol=1e-4,
+                                       atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m_one["selection"][0]),
+                                   np.asarray(m_single["selection"]),
+                                   atol=1e-6)
+
+        # (b) K=2 scan: distinct rngs per sub-step, counter advances by 2
+        s3 = jax.device_put(snap)
+        stacked = [jnp.stack([b[0][mi] for b in batches])
+                   for mi in range(len(batches[0][0]))]
+        targets = jnp.stack([b[1] for b in batches])
+        s3, m_multi = t.multi_policy(s3, stacked, targets, lr, lr, cw, rng)
+        assert m_multi["loss"].shape == (2,)
+        assert int(jax.device_get(s3.step)) == step_single + 1
+        assert float(m_multi["loss"][0]) != float(m_multi["loss"][1])
+
+    def test_trainer_runs_with_steps_per_dispatch(self, tmp_path):
+        """Engine path: full curriculum with K=2 incl. a tail remainder
+        (synthetic_length 8 / batch 8 = 1 batch per epoch -> remainder)."""
+        from adamml_tpu.train.curriculum import AdaMMLTrainer
+
+        cfg = tiny_cfg(tmp_path, optim__steps_per_dispatch=2,
+                       data__synthetic_length=24)
+        t = AdaMMLTrainer(cfg)
+        result = t.run()
+        assert "top1" in result

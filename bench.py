@@ -47,10 +47,12 @@ def measure(batch: int, steps: int) -> dict:
     from adamml_tpu.train.train_state import AdaMMLTrainState, StageFlags
 
     cfg = _flagship_cfg()
-    # A/B knob for update-path experiments (BENCH.md): ADAMML_FUSED=0 forces
-    # per-tensor optax updates
+    # A/B knobs for perf experiments (BENCH.md): ADAMML_FUSED=0 forces
+    # per-tensor optax updates; ADAMML_SPD=K benches the K-step scanned
+    # dispatch (steps.make_adamml_multi_step)
     if os.environ.get("ADAMML_FUSED") == "0":
         cfg.optim.fused_update = False
+    spd = int(os.environ.get("ADAMML_SPD", "1"))
     model, _ = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     inputs = example_inputs(cfg, batch=batch, num_segments=5, rng=rng)
@@ -65,14 +67,25 @@ def measure(batch: int, steps: int) -> dict:
 
     # benchmark the policy-phase step: it is the most expensive (both loss
     # terms, grads through policy AND main graphs)
-    step = make_adamml_train_step(
-        model, tx_main, tx_policy, flags=StageFlags.policy_phase(),
-        penalty_type="blockdrop", gammas=10.0, clip_gradient=None,
-        has_policy_params=True)
+    common = dict(flags=StageFlags.policy_phase(), penalty_type="blockdrop",
+                  gammas=10.0, clip_gradient=None, has_policy_params=True)
     target = jnp.zeros((batch,), jnp.int32)
     lr = jnp.asarray(1e-3)
     p_lr = jnp.asarray(1e-2)
     cw = jnp.asarray([1.0, 0.05])
+
+    if spd > 1:
+        from adamml_tpu.train.steps import make_adamml_multi_step
+
+        multi = make_adamml_multi_step(model, tx_main, tx_policy, **common)
+        st_inputs = [jnp.stack([x] * spd) for x in inputs]
+        st_target = jnp.stack([target] * spd)
+
+        def step(st, _i, _t, lr, p_lr, cw, r):
+            st, ms = multi(st, st_inputs, st_target, lr, p_lr, cw, r)
+            return st, {"loss": ms["loss"][-1]}
+    else:
+        step = make_adamml_train_step(model, tx_main, tx_policy, **common)
 
     # warmup / compile; a VALUE FETCH is the only reliable sync on the axon
     # relay (block_until_ready returns before execution completes there)
@@ -95,7 +108,7 @@ def measure(batch: int, steps: int) -> dict:
     t_large, state = run(steps, 2000, state)
     dt = max(1e-9, (t_large - t_small) / max(1, steps - small))
 
-    videos_per_sec = batch / dt
+    videos_per_sec = (batch * spd) / dt  # spd real steps per dispatch
     train_flops_per_video = REF_FWD_GFLOPS * 1e9 * 3.0
     mfu = (videos_per_sec * train_flops_per_video) / (
         V5E_PEAK_TFLOPS_BF16 * 1e12)
@@ -105,7 +118,8 @@ def measure(batch: int, steps: int) -> dict:
         "unit": "clips/sec/chip",
         "vs_baseline": round(videos_per_sec / BASELINE_VIDEOS_PER_SEC, 3),
     }
-    print(f"# batch={batch} steps={steps} step_time={dt * 1000:.1f}ms "
+    print(f"# batch={batch} steps={steps} spd={spd} "
+          f"dispatch_time={dt * 1000:.1f}ms "
           f"(T({small})={t_small:.2f}s T({steps})={t_large:.2f}s) "
           f"modeled-MFU~{mfu * 100:.1f}% "
           f"baseline_est={BASELINE_VIDEOS_PER_SEC:.1f} clips/s (V100 fp32 "

@@ -27,21 +27,20 @@ sys.path.insert(0, ".")
 
 
 def time_fn(fn, state0, grads, steps=30):
-    def run(n, st):
-        out = None
+    # vary the grads INSIDE the jitted fn via a scalar (one input buffer per
+    # step); perturbing the tree host-side would dispatch one kernel per
+    # tensor through the relay and dwarf the thing being measured
+    def run(n, st, key0):
         for i in range(n):
-            g = jax.tree_util.tree_map(
-                lambda x: x * (1.0 + 1e-6 * i), grads)
-            st, out = fn(st, g)
-            out, st = out, st
+            st = fn(st, grads, jnp.float32(1.0 + 1e-6 * (key0 + i)))
         float(jax.device_get(jax.tree_util.tree_leaves(st)[0].ravel()[0]))
         return st
 
-    st = run(2, state0)  # compile
+    st = run(2, state0, 0)  # compile
     t0 = time.perf_counter()
-    st = run(steps // 3, st)
+    st = run(steps // 3, st, 100)
     t1 = time.perf_counter()
-    st = run(steps, st)
+    st = run(steps, st, 200)
     t2 = time.perf_counter()
     return ((t2 - t1) - (t1 - t0)) / (steps - steps // 3)
 
@@ -78,16 +77,18 @@ def main():
         for kind, tx in makers:
             if hasattr(tx, "apply"):
                 @jax.jit
-                def fn(st, g, tx=tx):
+                def fn(st, g, scale, tx=tx):
+                    g = jax.tree_util.tree_map(lambda x: x * scale, g)
                     p, s = tx.apply(g, st["s"], st["p"], 0.01)
-                    return {"p": p, "s": s}, p
+                    return {"p": p, "s": s}
             else:
                 @jax.jit
-                def fn(st, g, tx=tx):
+                def fn(st, g, scale, tx=tx):
+                    g = jax.tree_util.tree_map(lambda x: x * scale, g)
                     u, s = tx.update(g, st["s"], st["p"])
                     p = jax.tree_util.tree_map(
                         lambda a, b: a - 0.01 * b, st["p"], u)
-                    return {"p": p, "s": s}, p
+                    return {"p": p, "s": s}
             st0 = {"p": subtree, "s": tx.init(subtree)}
             dt = time_fn(fn, st0, grads)
             results[f"{name}/{kind}"] = dt

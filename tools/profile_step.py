@@ -67,19 +67,36 @@ def main() -> int:
     with gzip.open(files[-1], "rt") as f:
         trace = json.load(f)
 
-    # sum durations by event name per track, keep device-looking tracks
-    by_name = defaultdict(float)
-    total = 0.0
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X":
+    # map pids to process names, then sum durations by op name on DEVICE
+    # lanes only (host python frames drown the signal otherwise)
+    events = trace.get("traceEvents", [])
+    proc_names = {}
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            proc_names[ev.get("pid")] = ev.get("args", {}).get("name", "")
+
+    def is_device(pid):
+        name = proc_names.get(pid, "").lower()
+        return ("tpu" in name or "device" in name or "xla" in name
+                or "accelerator" in name)
+
+    by_name = defaultdict(lambda: [0.0, 0])
+    dev_total = 0.0
+    for ev in events:
+        if ev.get("ph") != "X" or not is_device(ev.get("pid")):
             continue
         name = ev.get("name", "")
         dur = float(ev.get("dur", 0.0))
-        by_name[name] += dur
-        total += dur
-    print(f"# {len(files)} trace file(s); top 30 events by total duration:")
-    for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:30]:
-        print(f"{dur / 1000.0:10.2f} ms  {name[:110]}")
+        by_name[name][0] += dur
+        by_name[name][1] += 1
+        dev_total += dur
+    print(f"# {len(files)} trace file(s); device processes: "
+          f"{sorted(set(v for k, v in proc_names.items() if is_device(k)))}")
+    print(f"# device total {dev_total / 1000.0:.2f} ms over 3 steps; "
+          f"top 40 ops:")
+    for name, (dur, cnt) in sorted(by_name.items(),
+                                   key=lambda kv: -kv[1][0])[:40]:
+        print(f"{dur / 1000.0:10.2f} ms  x{cnt:<4d} {name[:100]}")
     return 0
 
 

@@ -290,6 +290,19 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--lazy_eval", action="store_true")
 
     # distributed
+    # GPU-runtime flags from the reference parser (opts.py:38-40,139-146),
+    # accepted for command compatibility; validate_args warns that they have
+    # no TPU equivalent instead of silently ignoring them
+    p.add_argument("--gpu", default=None, type=str, help=argparse.SUPPRESS)
+    p.add_argument("--gpu_id", default=None, type=str,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--disable_cudnn_benchmark", action="store_true",
+                   help=argparse.SUPPRESS)
+    p.add_argument("--dist-backend", dest="dist_backend", default=None,
+                   type=str, help=argparse.SUPPRESS)
+    p.add_argument("--multiprocessing-distributed", "--multiprocessing_distributed",
+                   dest="multiprocessing_distributed", action="store_true",
+                   help=argparse.SUPPRESS)
     p.add_argument("--sync-bn", dest="sync_bn", action="store_true")
     p.add_argument("--world-size", dest="world_size", default=1, type=int)
     p.add_argument("--rank", default=0, type=int)
@@ -323,6 +336,16 @@ def validate_args(parser: argparse.ArgumentParser,
     if args.after_softmax:
         parser.error("--after_softmax only applies to --pred_files ensemble "
                      "scoring, which is not implemented")
+    for flag, val in (("--gpu", args.gpu), ("--gpu_id", args.gpu_id),
+                      ("--disable_cudnn_benchmark",
+                       args.disable_cudnn_benchmark),
+                      ("--dist-backend", args.dist_backend),
+                      ("--multiprocessing-distributed",
+                       args.multiprocessing_distributed)):
+        if val:
+            print(f"WARNING: {flag} is a GPU-runtime flag with no TPU "
+                  f"equivalent; ignored (devices and processes come from "
+                  f"the jax runtime / --hostfile)", flush=True)
 
 
 def config_from_args(args: argparse.Namespace) -> ExperimentConfig:

@@ -396,3 +396,19 @@ class TestMultiStepDispatch:
         t = AdaMMLTrainer(cfg)
         result = t.run()
         assert "top1" in result
+
+
+class TestGpuRuntimeFlags:
+    def test_reference_gpu_flags_accepted_with_warning(self, capsys):
+        """Reference README commands (--multiprocessing-distributed etc.)
+        must parse; the GPU-runtime flags warn instead of silently no-oping
+        or erroring (reference opts.py:38-40,139-146)."""
+        from adamml_tpu.configs.config import arg_parser, validate_args
+
+        parser = arg_parser()
+        args = parser.parse_args(
+            ["--multiprocessing-distributed", "--gpu", "0,1",
+             "--dist-backend", "nccl", "--disable_cudnn_benchmark"])
+        validate_args(parser, args)
+        out = capsys.readouterr().out
+        assert out.count("GPU-runtime flag") == 4

@@ -17,7 +17,7 @@ their weights along.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import jax
 import numpy as np

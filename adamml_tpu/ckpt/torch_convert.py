@@ -18,7 +18,7 @@ models/resnet.py:19-33, sound_mobilenet_v2.py:188-196).
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Optional, Tuple
+from typing import Dict, Mapping, Tuple
 
 import numpy as np
 

@@ -35,8 +35,6 @@ def main(argv=None) -> int:
 
     trainer = UnimodalTrainer(cfg)
     if cfg.runtime.show_model:
-        import jax
-
         from ..models.model_builder import count_params_flops_summary
 
         print(trainer.model)

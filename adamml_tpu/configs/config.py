@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 from .dataset_config import DATASET_CONFIG
 
@@ -77,6 +77,9 @@ class ModelConfig:
     eval_capacity: Optional[float] = None
     # opt-in Pallas fused depthwise conv in the MobileNetV2 trunks
     use_pallas_dw: bool = False
+    # rematerialize ResNet block internals in backward (memory for compute;
+    # unlocks larger per-chip batches)
+    remat_backbone: bool = False
     # TPU-specific knobs (no reference equivalent): compute precision.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
@@ -222,6 +225,7 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--penalty_type", default="blockdrop", choices=["mean", "blockdrop"])
     p.add_argument("--eval_capacity", default=None, type=float)
     p.add_argument("--use_pallas_dw", action="store_true")
+    p.add_argument("--remat_backbone", action="store_true")
 
     # training
     p.add_argument("-b", "--batch-size", dest="batch_size", default=72, type=int)
@@ -365,6 +369,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         modality=list(args.modality), num_classes=meta.num_classes,
         eval_capacity=args.eval_capacity,
         use_pallas_dw=args.use_pallas_dw,
+        remat_backbone=args.remat_backbone,
         compute_dtype=args.compute_dtype,
     )
     optim = OptimConfig(

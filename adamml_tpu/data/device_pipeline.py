@@ -17,8 +17,7 @@ the packed channels), and NO normalization for sound.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ to [-1, 1] like librosa.load does for PCM16.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Tuple, Union
 
 import numpy as np
 

@@ -62,6 +62,7 @@ class AdaMML(nn.Module):
     policy_input_size: int = 160
     eval_capacity: Optional[float] = None  # real conditional compute at eval
     use_pallas_dw: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
@@ -123,6 +124,7 @@ class AdaMML(nn.Module):
                             learnable_lf_weights=self.learnable_lf_weights,
                             eval_capacity=self.eval_capacity,
                             use_pallas_dw=self.use_pallas_dw,
+                            remat=self.remat,
                             dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                             bn_groups=self.bn_groups,
                             name="main_net")

@@ -46,6 +46,7 @@ class JointMainNet(nn.Module):
     # over-capacity selections degrade to decision=0.
     eval_capacity: Optional[float] = None
     use_pallas_dw: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
@@ -57,7 +58,7 @@ class JointMainNet(nn.Module):
                              without_t_stride=self.without_t_stride,
                              pooling_method=self.pooling_method,
                              dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-                             bn_groups=self.bn_groups,
+                             bn_groups=self.bn_groups, remat=self.remat,
                              name=f"net_{m}")
         return MobileNetV2(num_classes=self.num_classes, dropout=self.dropout,
                            use_pallas_dw=self.use_pallas_dw,

@@ -19,7 +19,7 @@ Parameter tree is named to make the torchvision/PyTorch checkpoint converter
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -123,6 +123,10 @@ class ResNetTSN(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
+    # rematerialize block internals in the backward pass: trades recompute
+    # (cheap on an underutilized MXU) for activation memory, unlocking
+    # larger per-chip batches
+    remat: bool = False
 
     @property
     def feature_dim(self) -> int:
@@ -132,6 +136,8 @@ class ResNetTSN(nn.Module):
     def __call__(self, x, train: bool = False, features: bool = False):
         kind, layers = RESNET_LAYERS[self.depth]
         block = BasicBlock if kind == "basic" else Bottleneck
+        if self.remat:
+            block = nn.remat(block, static_argnums=(2,))
         expansion = 1 if kind == "basic" else 4
 
         n, f, h, w, c = x.shape

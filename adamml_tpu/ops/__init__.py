@@ -17,4 +17,5 @@ __all__ = [
     "crop_resize_normalize",
     "rgbdiff_from_frames",
     "policy_stream",
+    "depthwise_conv3x3",
 ]

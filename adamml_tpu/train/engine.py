@@ -14,7 +14,7 @@ plus selection rates and modeled GFLOPs (utils/utils.py:502).
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import jax
 import numpy as np

@@ -17,8 +17,7 @@ SyncBN (train_adamml.py:125-127), which becomes the default semantic.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -75,10 +74,10 @@ def _adamml_step_fn(model, tx_main, tx_policy, *, flags: StageFlags,
 
         # Differentiate ONLY the unfrozen subtree(s): the reference freezes
         # via requires_grad=False so torch never runs the frozen net's
-        # backward (models/adamml.py:114-132). Relying on XLA to DCE the
-        # dead backward does NOT happen in practice (the policy-phase step
-        # compiled to ~the full main-net backward's FLOPs), so freezing is
-        # explicit at the AD level here.
+        # backward (models/adamml.py:114-132). XLA does DCE the dead
+        # backward either way (measured: identical step time and compiled
+        # cost), but making the freeze explicit at the AD level keeps the
+        # semantics verifiable in the jaxpr rather than an optimizer detail.
         def subtree_live(k):
             return ((k == "main_net" and flags.update_main)
                     or (k == "policy_net" and flags.update_policy

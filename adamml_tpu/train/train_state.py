@@ -9,7 +9,7 @@ ints kept by the curriculum driver.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import jax.numpy as jnp
 from flax import struct

@@ -52,6 +52,8 @@ def measure(batch: int, steps: int) -> dict:
     # dispatch (steps.make_adamml_multi_step)
     if os.environ.get("ADAMML_FUSED") == "0":
         cfg.optim.fused_update = False
+    if os.environ.get("ADAMML_REMAT") == "1":
+        cfg.model.remat_backbone = True
     spd = int(os.environ.get("ADAMML_SPD", "1"))
     model, _ = build_model(cfg)
     rng = jax.random.PRNGKey(0)

@@ -86,3 +86,51 @@ def test_validate_gathers_full_matrix():
     np.testing.assert_allclose(out["mAP"], mAP)
     np.testing.assert_allclose(out["loss"], 0.5)
     assert out["outputs"].shape == (12, 5)
+
+
+class TestCapacityDropAccounting:
+    def test_validate_counts_dropped_selections(self):
+        """validate() must report how many selected segment-rows exceed the
+        eval_capacity packing budget, per modality (models/joint_net.py
+        zeroes them silently inside the jit)."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from adamml_tpu.train.engine import validate
+
+        # one batch of 4 samples x 2 segments x 2 modalities; modality 0
+        # selects 6 of 8 rows, modality 1 selects 2 of 8
+        dec = np.zeros((4, 2, 2), np.float32)
+        dec[:3, :, 0] = 1.0   # 6 selected
+        dec[0, :, 1] = 1.0    # 2 selected
+        logits = np.tile(np.arange(5, dtype=np.float32), (4, 1))
+        target = np.arange(4) % 5
+
+        def eval_step(state, inputs, tgt, rng):
+            return (jnp.asarray(logits), jnp.asarray(dec),
+                    jnp.asarray(1.0))
+
+        loader = [dict(x=0)]
+        out = validate(loader, lambda b: ([jnp.zeros((4,))],
+                                          jnp.asarray(target)),
+                       eval_step, state=None, modality=["rgb", "sound"],
+                       adamml=True, num_segments=2, eval_capacity=0.5)
+        # cap = 0.5 * 8 rows = 4: rgb drops 6-4=2, sound drops 0
+        assert out["capacity_dropped"] == {"rgb": 2, "sound": 0}
+
+    def test_no_drop_report_without_capacity(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from adamml_tpu.train.engine import validate
+
+        def eval_step(state, inputs, tgt, rng):
+            return (jnp.zeros((2, 5)), jnp.zeros((2, 2, 1)),
+                    jnp.asarray(1.0))
+
+        out = validate([dict()], lambda b: ([jnp.zeros((2,))],
+                                            jnp.asarray([0, 1])),
+                       eval_step, state=None, modality=["rgb"], adamml=True,
+                       num_segments=2, eval_capacity=None)
+        assert "capacity_dropped" not in out

@@ -81,6 +81,14 @@ def save_checkpoint(state: AdaMMLTrainState, meta: dict, filepath: str,
     return path
 
 
+def peek_meta(path: str) -> dict:
+    """Read a checkpoint's host metadata without restoring arrays (used to
+    validate e.g. the optimizer-state layout before orbax touches the
+    tree, where a mismatch would surface as an opaque structure error)."""
+    with open(os.path.join(os.path.abspath(path), _META)) as f:
+        return json.load(f)
+
+
 def load_checkpoint(path: str, target_state: AdaMMLTrainState):
     """Restore (state, meta). `target_state` supplies the pytree structure
     and shardings."""

@@ -20,6 +20,32 @@ import sys
 from ..configs.config import arg_parser, config_from_args, validate_args
 
 
+def parse_hostfile(lines, current_node: str):
+    """Derive (coordinator_address, num_processes, process_id) from hostfile
+    lines, mirroring the reference's rank derivation (reference
+    train_adamml.py:40-50: line index = rank, first line's hostname = master,
+    port 10598) with two hardenings: the hostname match is EXACT on the
+    line's first whitespace token (the reference's `curr in node` substring
+    test lets "node1" match "node10"), and an unmatched host is a loud error
+    instead of a silent rank-0 fallback."""
+    nodes = [x.strip() for x in lines if x.strip()]
+    if not nodes:
+        raise RuntimeError("hostfile is empty")
+    hostnames = [n.split()[0].split(".")[0] for n in nodes]
+    master = nodes[0].split()[0]
+    curr = current_node.split(".")[0]
+    matches = [i for i, h in enumerate(hostnames) if h == curr]
+    if not matches:
+        raise RuntimeError(
+            f"current node {curr!r} not found in hostfile "
+            f"(hosts: {hostnames}); refusing to guess a rank")
+    if len(matches) > 1:
+        raise RuntimeError(
+            f"current node {curr!r} appears {len(matches)} times in the "
+            f"hostfile; ranks would be ambiguous")
+    return f"{master}:10598", len(nodes), matches[0]
+
+
 def init_distributed(cfg) -> None:
     """hostfile -> coordinator + process id (reference
     train_adamml.py:40-50); no-op for single-host runs."""
@@ -27,14 +53,11 @@ def init_distributed(cfg) -> None:
 
     r = cfg.runtime
     if r.hostfile:
-        curr = platform.node().split(".")[0]
         with open(r.hostfile) as f:
-            nodes = [x.strip() for x in f.readlines() if x.strip()]
-        master = nodes[0].split(" ")[0]
-        rank = next((i for i, n in enumerate(nodes) if curr in n), 0)
-        jax.distributed.initialize(
-            coordinator_address=f"{master}:10598",
-            num_processes=len(nodes), process_id=rank)
+            coord, nproc, rank = parse_hostfile(f.readlines(),
+                                                platform.node())
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=nproc, process_id=rank)
     elif r.dist_url and r.world_size > 1:
         addr = r.dist_url.replace("tcp://", "")
         jax.distributed.initialize(coordinator_address=addr,

@@ -33,13 +33,36 @@ from ..models.adamml import INIT_TEMPERATURE, TEMPERATURE_DECAY
 from ..models.model_builder import build_model, example_inputs, init_model
 from ..parallel.mesh import make_mesh, place_on_mesh, shard_batch
 from ..utils.logging import RankZeroLogger
-from ..ckpt.checkpoint import CheckpointManager, load_checkpoint, save_checkpoint
+from ..ckpt.checkpoint import (CheckpointManager, load_checkpoint, peek_meta,
+                               save_checkpoint)
 from .engine import train_epoch, validate
 from .optim import build_optimizer
 from .schedulers import ReduceLROnPlateau, lr_at_epoch
 from .steps import (make_adamml_eval_step, make_adamml_train_step,
                     make_unimodal_eval_step, make_unimodal_train_step)
 from .train_state import AdaMMLTrainState, StageFlags
+
+
+def _optim_layout(cfg: ExperimentConfig) -> str:
+    """Optimizer-state layout tag persisted in checkpoint meta: the fused
+    optimizers store one raveled vector per state slot while the per-tensor
+    optax path stores a params-shaped tree, so a checkpoint written under one
+    layout cannot restore under the other (the orbax structure mismatch is
+    opaque). Recording the layout turns that into a clear error."""
+    return "fused" if getattr(cfg.optim, "fused_update", True) else "per_tensor"
+
+
+def _check_optim_layout(cfg: ExperimentConfig, meta: Dict, path: str) -> None:
+    saved = meta.get("optim_layout")
+    want = _optim_layout(cfg)
+    if saved is not None and saved != want:
+        flag = ("--no_fused_update" if saved == "per_tensor"
+                else "(drop --no_fused_update)")
+        raise RuntimeError(
+            f"checkpoint {path!r} was written with optimizer layout "
+            f"{saved!r} but this run uses {want!r}; restore would fail with "
+            f"an orbax tree-structure mismatch. Re-run with {flag} to match "
+            f"the checkpoint.")
 
 
 def _make_dataset(cfg: ExperimentConfig, *, is_train: bool, num_clips: int):
@@ -199,6 +222,7 @@ class AdaMMLTrainer:
         # save p_scheduler/scheduler state dicts, train_adamml.py:373-383)
         meta = {"epoch": epoch, "arch": self.arch_name,
                 "best_top1": float(self.best_top1), "stage": stage,
+                "optim_layout": _optim_layout(self.cfg),
                 "rng": np.asarray(jax.device_get(self.rng)).tolist()}
         if self.plateau is not None:
             meta["scheduler"] = self.plateau.state_dict()
@@ -222,6 +246,7 @@ class AdaMMLTrainer:
                            "will resume from there.")
         if not resume:
             return
+        _check_optim_layout(self.cfg, peek_meta(resume), resume)
         self.state, meta = load_checkpoint(resume, self.state)
         self.best_top1 = meta["best_top1"]
         self.curr_stage = meta["stage"]
@@ -280,7 +305,8 @@ class AdaMMLTrainer:
         logger.log(
             f"Train: [{epoch + 1:03d}/{total:03d}]\tLoss: {s['loss']:4.4f}\t"
             f"Top@1: {s['top1']:.4f}\tTop@5: {s['top5']:.4f}\t"
-            f"Speed: {s['batch_time'] * 1000.0:.2f} ms/batch\t"
+            f"Speed: {s['batch_time'] * 1000.0:.2f} ms/batch (dispatch) "
+            f"{s['wall_time'] * 1000.0:.2f} ms/batch (drained)\t"
             f"Data loading: {s['data_time'] * 1000.0:.2f} ms/batch\t"
             f"Selection: {sel}")
 
@@ -389,6 +415,7 @@ class AdaMMLTrainer:
                 if self.start_epoch == 0:
                     best = CheckpointManager(self.log_folder).best()
                     if best:  # reference train_adamml.py:538-551
+                        _check_optim_layout(self.cfg, peek_meta(best), best)
                         self.state, meta = load_checkpoint(best, self.state)
                         logger.log(f"Loaded model_best (epoch "
                                    f"{meta['epoch']}) for finetune")
@@ -420,6 +447,12 @@ class UnimodalTrainer:
 
     def __init__(self, cfg: ExperimentConfig) -> None:
         self.cfg = cfg
+        if cfg.optim.steps_per_dispatch > 1:
+            # fail loudly instead of silently ignoring the flag (the
+            # scanned multi-step dispatch is wired into AdaMMLTrainer only)
+            raise ValueError(
+                "--steps_per_dispatch > 1 is not supported by "
+                "train_unimodal; it applies to the AdaMML trainer only")
         self.mesh = make_mesh(cfg.runtime.mesh_data, cfg.runtime.mesh_model)
         self.model, self.arch_name = build_model(cfg)
         self.log_folder = os.path.join(cfg.runtime.logdir or "logs",
@@ -481,6 +514,7 @@ class UnimodalTrainer:
                            "will resume from there.")
         if not resume:
             return
+        _check_optim_layout(self.cfg, peek_meta(resume), resume)
         self.state, meta = load_checkpoint(resume, self.state)
         self.best_top1 = meta["best_top1"]
         self.start_epoch = meta["epoch"]
@@ -510,7 +544,8 @@ class UnimodalTrainer:
                 f"Train: [{epoch + 1:03d}/{cfg.optim.epochs:03d}]\t"
                 f"Loss: {s['loss']:4.4f}\tTop@1: {s['top1']:.4f}\t"
                 f"Top@5: {s['top5']:.4f}\t"
-                f"Speed: {s['batch_time'] * 1000.0:.2f} ms/batch")
+                f"Speed: {s['batch_time'] * 1000.0:.2f} ms/batch (dispatch) "
+                f"{s['wall_time'] * 1000.0:.2f} ms/batch (drained)")
             # lazy_eval: every 10 epochs + final 10% (reference
             # train_unimodal.py:341-346)
             do_eval = True
@@ -534,6 +569,7 @@ class UnimodalTrainer:
                 is_best = False
             meta = {"epoch": epoch + 1, "arch": self.arch_name,
                     "best_top1": float(self.best_top1), "stage": "unimodal",
+                    "optim_layout": _optim_layout(self.cfg),
                     "rng": np.asarray(jax.device_get(self.rng)).tolist()}
             if self.plateau is not None:
                 meta["scheduler"] = self.plateau.state_dict()

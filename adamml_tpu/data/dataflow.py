@@ -28,7 +28,8 @@ class HostDataLoader:
                  scale_range: Sequence[int] = (256, 320),
                  disable_scaleup: bool = False, workers: int = 8,
                  seed: int = 0, num_shards: int = 1, shard_index: int = 0,
-                 drop_last: Optional[bool] = None, prefetch: int = 2) -> None:
+                 drop_last: Optional[bool] = None, prefetch: int = 2,
+                 pad_to_batch: Optional[bool] = None) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.is_train = is_train
@@ -41,6 +42,12 @@ class HostDataLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.drop_last = is_train if drop_last is None else drop_last
+        # Eval default: pad the ragged tail batch to the static batch size
+        # (wrapped real samples, masked out of the metrics by
+        # global_valid_masks) so every eval batch compiles to ONE shape and
+        # multi-host shards stay equal-sized (VERDICT r2 weak #4).
+        self.pad_to_batch = ((not self.drop_last) if pad_to_batch is None
+                             else pad_to_batch)
         self.prefetch = prefetch
         self.epoch = 0
         self.modality = list(getattr(dataset, "modality", ["rgb"]))
@@ -48,15 +55,58 @@ class HostDataLoader:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
-    def _indices(self) -> np.ndarray:
+    def _order(self) -> np.ndarray:
         n = len(self.dataset)
         if self.is_train:
             rng = np.random.RandomState(self.seed + self.epoch)
             order = rng.permutation(n)
         else:
             order = np.arange(n)
-        # contiguous shard per process (DistributedSampler-style round robin)
-        return order[self.shard_index::self.num_shards]
+        # torch DistributedSampler semantics: pad by wrapping so every shard
+        # has the SAME length -- without this, shards can differ by one
+        # sample and processes would disagree on the number of batches
+        # (collective deadlock). Reference utils/utils.py:157.
+        if self.num_shards > 1 and n % self.num_shards:
+            total = -(-n // self.num_shards) * self.num_shards
+            order = np.concatenate([order, order[: total - n]])
+        return order
+
+    def _shard(self, shard_index: int):
+        """(indices, valid) for one shard; valid marks rows that are real
+        (not shard-equalization or batch-tail padding)."""
+        n = len(self.dataset)
+        order = self._order()
+        real = np.arange(len(order)) < n  # wrap-padding sits at the tail
+        idx = order[shard_index::self.num_shards]
+        valid = real[shard_index::self.num_shards]
+        if self.pad_to_batch and not self.drop_last and len(idx):
+            nb = -(-len(idx) // self.batch_size)
+            pad = nb * self.batch_size - len(idx)
+            if pad:
+                reps = -(-pad // len(idx))
+                fill = np.tile(idx, reps)[:pad]
+                idx = np.concatenate([idx, fill])
+                valid = np.concatenate([valid, np.zeros(pad, bool)])
+        return idx, valid
+
+    def _indices(self) -> np.ndarray:
+        return self._shard(self.shard_index)[0]
+
+    def global_valid_masks(self) -> Optional[list]:
+        """Per-batch boolean masks over the GLOBAL (all-shard) batch rows,
+        ordered [shard0 rows, shard1 rows, ...] -- the layout of a
+        batch-sharded jit output gathered with process_allgather. None when
+        no padding is in play (all rows real). Pure function of (dataset
+        size, shards, batch size): every process computes the same masks."""
+        if self.drop_last or not self.pad_to_batch:
+            return None
+        shard_valid = [self._shard(p)[1] for p in range(self.num_shards)]
+        if all(v.all() for v in shard_valid):
+            return None
+        nb = len(self)
+        bs = self.batch_size
+        return [np.concatenate([v[bi * bs:(bi + 1) * bs]
+                                for v in shard_valid]) for bi in range(nb)]
 
     def __len__(self) -> int:
         n = len(self._indices())

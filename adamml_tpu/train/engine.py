@@ -28,6 +28,19 @@ def _host(x):
     return np.asarray(jax.device_get(x))
 
 
+def _host_cross_entropy(logits: np.ndarray, targets: np.ndarray) -> float:
+    """numpy twin of losses.cross_entropy, for re-scoring masked eval rows
+    on the host (padded tail rows must not contaminate the loss meter)."""
+    logits = logits.astype(np.float64)
+    lse = np.log(np.sum(np.exp(logits - logits.max(-1, keepdims=True)), -1))
+    logp = logits - logits.max(-1, keepdims=True) - lse[:, None]
+    if targets.ndim == 1:
+        losses = -logp[np.arange(len(targets)), targets.astype(np.int64)]
+    else:
+        losses = -(targets * logp).sum(-1)
+    return float(losses.mean())
+
+
 def _host_global(x):
     """Fetch a possibly process-spanning jax.Array as its FULL global value.
 
@@ -242,9 +255,32 @@ def validate(loader, preprocess: Callable, eval_step: Callable, state,
     all_logits = [_host_global(x) for x in all_logits]
     all_targets = [_host_global(x) for x in all_targets]
     all_selections = [_host_global(x) for x in all_selections]
-    for n, loss in zip(batch_sizes, jax.device_get(all_losses)):
-        losses.update(float(loss), n)
+
+    # Padded-tail masking: the loader pads the ragged final batch (and any
+    # shard-equalization rows) with wrapped real samples so the compiled
+    # eval shape is static; those rows must not count. Every process
+    # computes the identical masks host-side (dataflow.global_valid_masks).
+    masks = getattr(loader, "global_valid_masks", lambda: None)()
+    if masks is not None:
+        masks = [np.asarray(mk)[: lg.shape[0]]
+                 for mk, lg in zip(masks, all_logits)]
+        for lg, tg, mk, loss in zip(all_logits, all_targets, masks,
+                                    jax.device_get(all_losses)):
+            if mk.all():  # exact device value when nothing was padded
+                losses.update(float(loss), int(mk.sum()))
+            elif mk.any():  # re-score valid rows only, on host
+                losses.update(_host_cross_entropy(lg[mk], tg[mk]),
+                              int(mk.sum()))
+        all_logits = [lg[mk] for lg, mk in zip(all_logits, masks)]
+        all_targets = [tg[mk] for tg, mk in zip(all_targets, masks)]
+        all_selections = [sl[mk] for sl, mk in zip(all_selections, masks)]
+        batch_sizes = [int(mk.sum()) for mk in masks]
+    else:
+        for n, loss in zip(batch_sizes, jax.device_get(all_losses)):
+            losses.update(float(loss), n)
     for dec in all_selections:
+        if dec.shape[0] == 0:
+            continue
         sel = dec.mean(axis=(0, 1))
         for mi, m in enumerate(modality):
             selection[m].update(float(sel[mi]))
@@ -265,6 +301,8 @@ def validate(loader, preprocess: Callable, eval_step: Callable, state,
         off = 0
         for n in batch_sizes:
             dec = selections[off:off + n]            # (n, S, M)
+            if dec.shape[0] == 0:
+                continue
             rows = dec.shape[0] * dec.shape[1]
             cap = max(1, int(round(eval_capacity * rows)))
             picked = dec.reshape(rows, -1).sum(axis=0)

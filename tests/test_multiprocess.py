@@ -52,7 +52,10 @@ cfg.optim.batch_size = 8
 cfg.optim.epochs = 1
 cfg.optim.lr_scheduler = "multisteps"
 cfg.data.dataset = "synthetic"
-cfg.data.synthetic_length = 16
+# 13 is NOT divisible by processes x batch: shard equalization pads to 14
+# (7/process), and each process's 2nd val batch carries 3 padded rows --
+# the masked ragged-tail path must still produce exact global metrics
+cfg.data.synthetic_length = 13
 cfg.data.input_size = 16
 cfg.data.canvas_size = (32, 48)
 cfg.data.scale_range = [20, 24]
@@ -64,7 +67,8 @@ assert trainer.train_loader.shard_index == pid
 result = trainer.run()
 # every process must see the SAME globally-gathered eval numbers
 print("RESULT", json.dumps({"pid": pid, "top1": result["top1"],
-                            "mAP": result["mAP"], "loss": result["loss"]}),
+                            "mAP": result["mAP"], "loss": result["loss"],
+                            "val_rows": int(result["outputs"].shape[0])}),
       flush=True)
 """
 
@@ -104,3 +108,5 @@ def test_two_process_mesh_train_and_gathered_eval(tmp_path):
     assert results[0]["top1"] == pytest.approx(results[1]["top1"])
     assert results[0]["mAP"] == pytest.approx(results[1]["mAP"])
     assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-5)
+    # padded rows were dropped: exactly the 13 real samples remain
+    assert results[0]["val_rows"] == results[1]["val_rows"] == 13

@@ -77,6 +77,10 @@ class ModelConfig:
     eval_capacity: Optional[float] = None
     # opt-in Pallas fused depthwise conv in the MobileNetV2 trunks
     use_pallas_dw: bool = False
+    # fused Pallas stage-boundary bn-apply+add+relu+temporal-pool (default
+    # ON: measured faster on the flagship step with identical gradients;
+    # BENCH.md round 3). --no_fused_tpool reverts to plain reduce_window.
+    fused_tpool: bool = True
     # rematerialize ResNet block internals in backward (memory for compute;
     # unlocks larger per-chip batches)
     remat_backbone: bool = False
@@ -225,6 +229,8 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--penalty_type", default="blockdrop", choices=["mean", "blockdrop"])
     p.add_argument("--eval_capacity", default=None, type=float)
     p.add_argument("--use_pallas_dw", action="store_true")
+    p.add_argument("--no_fused_tpool", action="store_true",
+                   help="disable the fused Pallas temporal-pool kernel")
     p.add_argument("--remat_backbone", action="store_true")
 
     # training
@@ -327,9 +333,6 @@ def validate_args(parser: argparse.ArgumentParser,
     reference accepts these and ignores them in the training drivers too, but
     a user porting an eval protocol deserves a loud failure over a silent
     no-op."""
-    if args.num_crops > 1:
-        parser.error("--num_crops > 1 (multi-crop eval) is not supported; "
-                     "use --val_num_clips for multi-clip evaluation")
     if args.threed_data:
         parser.error("--threed_data requires a 3D backbone; none is in the "
                      "model table (the reference's default 's3d' is absent "
@@ -369,6 +372,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         modality=list(args.modality), num_classes=meta.num_classes,
         eval_capacity=args.eval_capacity,
         use_pallas_dw=args.use_pallas_dw,
+        fused_tpool=not args.no_fused_tpool,
         remat_backbone=args.remat_backbone,
         compute_dtype=args.compute_dtype,
     )

@@ -55,6 +55,62 @@ def _multiscale_crop(h: int, w: int, input_size: int,
     return float(ox), float(oy), float(cw), float(ch)
 
 
+# index of the canonical (center, unflipped) crop within the oversample
+# rectangle list -- 10-crop interleaves [c0, c0_flip, c1, c1_flip, ...]
+# following reference GroupOverSample's extend order (video_transforms.py:164-177)
+OVERSAMPLE_CENTER = {1: 0, 3: 2, 5: 4, 10: 8}
+
+
+def oversample_crop_flip(hw: np.ndarray, *, input_size: int, num_crops: int,
+                         disable_scaleup: bool = False
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic multi-crop eval rectangles (reference GroupOverSample,
+    utils/video_transforms.py:121-178): scale the short side to
+    input/0.875, then take 3 (top/bottom/left/right + center along the long
+    axis), 5 (4 corners + center, fill_fix_offset :229-252), or 10 (5 x
+    {normal, mirrored}) fixed crops. Offsets are computed in SCALED image
+    coordinates exactly like the reference and mapped back to source
+    coordinates for the fused device crop-resize op.
+
+    hw: (N, 2) true (h, w). Returns (crops (N, C, 4) xywh, flips (N, C))."""
+    if num_crops not in (1, 3, 5, 10):
+        raise ValueError(
+            f"num_crops should be in [1, 3, 5, 10] but ({num_crops})")
+    n = hw.shape[0]
+    crops = np.zeros((n, num_crops, 4), np.float32)
+    flips = np.zeros((n, num_crops), bool)
+    for i in range(n):
+        h, w = int(hw[i, 0]), int(hw[i, 1])
+        scaled = (input_size if disable_scaleup
+                  else int(input_size / 0.875 + 0.5))
+        f = scaled / min(h, w)
+        sw, sh = int(round(w * f)), int(round(h * f))  # scaled dims
+        crop_src = input_size / f
+        if num_crops == 3:
+            w_step = (sw - input_size) // 4
+            h_step = (sh - input_size) // 4
+            if sw < sh:  # portrait: top / bottom / center
+                offs = [(2 * w_step, 0), (2 * w_step, 4 * h_step),
+                        (2 * w_step, 2 * h_step)]
+            else:  # landscape: left / right / center
+                offs = [(0, 2 * h_step), (4 * w_step, 2 * h_step),
+                        (2 * w_step, 2 * h_step)]
+            fl = [False] * 3
+        else:
+            offs5 = _fixed_offsets(sw, sh, input_size, input_size)[:5]
+            if num_crops == 5:
+                offs, fl = offs5, [False] * 5
+            elif num_crops == 10:
+                offs = [o for o in offs5 for _ in range(2)]
+                fl = [False, True] * 5
+            else:  # num_crops == 1: center crop
+                offs, fl = [offs5[4]], [False]
+        for j, ((ox, oy), flip) in enumerate(zip(offs, fl)):
+            crops[i, j] = (ox / f, oy / f, crop_src, crop_src)
+            flips[i, j] = flip
+    return crops, flips
+
+
 def sample_crop_flip(hw: np.ndarray, *, input_size: int, train: bool,
                      version: str = "v2",
                      scale_range: Sequence[int] = (256, 320),

@@ -19,7 +19,7 @@ from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np
 
-from .aug_params import sample_crop_flip
+from .aug_params import oversample_crop_flip, sample_crop_flip
 
 
 class HostDataLoader:
@@ -29,7 +29,8 @@ class HostDataLoader:
                  disable_scaleup: bool = False, workers: int = 8,
                  seed: int = 0, num_shards: int = 1, shard_index: int = 0,
                  drop_last: Optional[bool] = None, prefetch: int = 2,
-                 pad_to_batch: Optional[bool] = None) -> None:
+                 pad_to_batch: Optional[bool] = None,
+                 num_crops: int = 1) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.is_train = is_train
@@ -49,6 +50,11 @@ class HostDataLoader:
         self.pad_to_batch = ((not self.drop_last) if pad_to_batch is None
                              else pad_to_batch)
         self.prefetch = prefetch
+        # multi-crop oversample eval (reference GroupOverSample,
+        # utils/video_transforms.py:121-178): emit num_crops fixed crop
+        # rectangles per sample; the device pipeline folds them into the
+        # batch and the eval step averages logits over crops
+        self.num_crops = num_crops if not is_train else 1
         self.epoch = 0
         self.modality = list(getattr(dataset, "modality", ["rgb"]))
 
@@ -130,12 +136,18 @@ class HostDataLoader:
                 continue
             frames = np.stack([it["frames"] for it in items])
             hw = np.stack([it["hw"] for it in items])
-            crop, flip = sample_crop_flip(
-                hw, input_size=self.input_size, train=self.is_train,
-                version=self.augmentor_ver, scale_range=self.scale_range,
-                disable_scaleup=self.disable_scaleup, rng=rng)
-            if not self.is_train:
-                flip = np.zeros_like(flip)
+            if not self.is_train and self.num_crops > 1:
+                crop, flip = oversample_crop_flip(
+                    hw, input_size=self.input_size,
+                    num_crops=self.num_crops,
+                    disable_scaleup=self.disable_scaleup)  # (N,C,4), (N,C)
+            else:
+                crop, flip = sample_crop_flip(
+                    hw, input_size=self.input_size, train=self.is_train,
+                    version=self.augmentor_ver, scale_range=self.scale_range,
+                    disable_scaleup=self.disable_scaleup, rng=rng)
+                if not self.is_train:
+                    flip = np.zeros_like(flip)
             batch[f"{m}_frames"] = frames
             batch[f"{m}_crop"] = crop
             batch[f"{m}_flip"] = flip

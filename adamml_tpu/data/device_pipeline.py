@@ -50,6 +50,14 @@ def make_batch_preprocessor(cfg, *, train: bool,
         audio_length=dcfg.audio_length)
 
     def preprocess(batch: Dict) -> Tuple[List[jax.Array], jax.Array]:
+        # Multi-crop oversample eval: (N, C, 4) crop rectangles fold into
+        # the batch axis -> every modality contributes (N*C, ...) rows and
+        # the eval step averages logits over the C crops (reference
+        # GroupOverSample, utils/video_transforms.py:121-178).
+        ncrops = 1
+        for m in modality:
+            if m != "sound" and batch[f"{m}_crop"].ndim == 3:
+                ncrops = batch[f"{m}_crop"].shape[1]
         inputs: List[jax.Array] = []
         for m in modality:
             if m == "sound":
@@ -57,14 +65,20 @@ def make_batch_preprocessor(cfg, *, train: bool,
                 valid = jnp.asarray(batch["sound_valid"])      # (N, S)
                 spec = log_power_spectrogram(wave, spec_cfg)   # (N, S, 256, 256)
                 spec = spec * valid[..., None, None]
-                n, s = spec.shape[0], spec.shape[1]
                 spec = spec[:, :, None, :, :, None]            # (N,S,1,fh,fw,1)
+                if ncrops > 1:  # sound has no spatial crops: repeat rows
+                    spec = jnp.repeat(spec, ncrops, axis=0)
                 inputs.append(spec.astype(dtype))
                 continue
 
             frames = jnp.asarray(batch[f"{m}_frames"])
             crop = jnp.asarray(batch[f"{m}_crop"])
             flip = jnp.asarray(batch[f"{m}_flip"])
+            if crop.ndim == 3:  # oversample: fold crops into batch
+                c_ = crop.shape[1]
+                frames = jnp.repeat(frames, c_, axis=0)
+                crop = crop.reshape((-1, 4))
+                flip = flip.reshape((-1,))
             n = frames.shape[0]
             if m == "rgbdiff":
                 # (N, P*6, Hc, Wc, 3) -> diffs (N, P*5, Hc, Wc, 3)

@@ -63,6 +63,7 @@ class AdaMML(nn.Module):
     eval_capacity: Optional[float] = None  # real conditional compute at eval
     use_pallas_dw: bool = False
     remat: bool = False
+    fused_tpool: bool = True
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
@@ -125,6 +126,7 @@ class AdaMML(nn.Module):
                             eval_capacity=self.eval_capacity,
                             use_pallas_dw=self.use_pallas_dw,
                             remat=self.remat,
+                            fused_tpool=self.fused_tpool,
                             dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                             bn_groups=self.bn_groups,
                             name="main_net")

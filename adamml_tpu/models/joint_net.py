@@ -47,6 +47,7 @@ class JointMainNet(nn.Module):
     eval_capacity: Optional[float] = None
     use_pallas_dw: bool = False
     remat: bool = False
+    fused_tpool: bool = True
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
@@ -59,6 +60,7 @@ class JointMainNet(nn.Module):
                              pooling_method=self.pooling_method,
                              dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                              bn_groups=self.bn_groups, remat=self.remat,
+                             fused_tpool=self.fused_tpool,
                              name=f"net_{m}")
         return MobileNetV2(num_classes=self.num_classes, dropout=self.dropout,
                            use_pallas_dw=self.use_pallas_dw,

@@ -40,6 +40,11 @@ class GroupedBatchNorm(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     groups: int = 1
+    # return the per-group affine (a, b) with a = scale*rsqrt(var+eps) and
+    # b = bias - mean*a INSTEAD of applying it, so a consumer can fuse the
+    # normalize into its own kernel (ops/pallas/tpool_fused.py). Moments and
+    # running-stat updates are computed identically either way.
+    return_affine: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -53,8 +58,15 @@ class GroupedBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (features,),
                           jnp.float32)
 
+        def affine(mean_gc, var_gc):
+            """(G, C) moments -> (G, C) fused-FMA affine."""
+            a = scale * jax.lax.rsqrt(var_gc + self.epsilon)
+            return a, bias - mean_gc * a
+
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
+            if self.return_affine:
+                return affine(mean[None], var[None])
             y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(
                 var + self.epsilon)
             return (y * scale + bias).astype(self.dtype)
@@ -90,4 +102,8 @@ class GroupedBatchNorm(nn.Module):
             m = self.momentum
             ra_mean.value = m * ra_mean.value + (1.0 - m) * upd_mean
             ra_var.value = m * ra_var.value + (1.0 - m) * upd_var
+        if self.return_affine:
+            if g > 1 and n % g == 0 and n >= g:
+                return affine(mean_g, var_g)
+            return affine(upd_mean[None], upd_var[None])
         return (y * scale + bias).astype(self.dtype)

@@ -24,6 +24,7 @@ from typing import Any, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas.tpool_fused import fused_bn_add_relu_tpool
 from ..ops.temporal import temporal_pool
 from .norm import GroupedBatchNorm
 
@@ -44,17 +45,25 @@ class _ConvBN(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
+    # defer the BN affine: return (conv_out, a, b) with a/b per group so the
+    # caller can fuse normalize+add+relu+pool into one Pallas kernel
+    # (ops/pallas/tpool_fused.py). BN moments/stats update identically.
+    defer_affine: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.Conv(self.features, self.kernel, self.strides,
                     padding=[(k // 2, k // 2) for k in self.kernel],
                     use_bias=False, dtype=self.dtype, name="conv")(x)
-        x = GroupedBatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             axis_name=self.bn_axis_name,
-                             groups=self.bn_groups, name="bn")(x)
-        return x
+        bn = GroupedBatchNorm(use_running_average=not train, momentum=0.9,
+                              epsilon=1e-5, dtype=self.dtype,
+                              axis_name=self.bn_axis_name,
+                              groups=self.bn_groups,
+                              return_affine=self.defer_affine, name="bn")
+        if self.defer_affine:
+            a, b = bn(x)
+            return x, a, b
+        return bn(x)
 
 
 class BasicBlock(nn.Module):
@@ -65,6 +74,10 @@ class BasicBlock(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
+    # defer the final bn-apply + residual-add + relu so a stage-boundary
+    # caller can fuse them with the temporal pool; returns
+    # (conv_out, identity, a, b). Parameter tree is unchanged.
+    defer_epilogue: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -72,13 +85,17 @@ class BasicBlock(nn.Module):
         out = _ConvBN(self.planes, (3, 3), self.strides, self.dtype,
                       self.bn_axis_name, self.bn_groups, name="cb1")(x, train)
         out = nn.relu(out)
-        out = _ConvBN(self.planes, (3, 3), (1, 1), self.dtype,
-                      self.bn_axis_name, self.bn_groups, name="cb2")(out, train)
+        cb2 = _ConvBN(self.planes, (3, 3), (1, 1), self.dtype,
+                      self.bn_axis_name, self.bn_groups,
+                      defer_affine=self.defer_epilogue, name="cb2")
         if self.downsample:
             identity = _ConvBN(self.planes, (1, 1), self.strides, self.dtype,
                                self.bn_axis_name, self.bn_groups,
                                name="downsample")(x, train)
-        return nn.relu(out + identity)
+        if self.defer_epilogue:
+            out, a, b = cb2(out, train)
+            return out, identity, a, b
+        return nn.relu(cb2(out, train) + identity)
 
 
 class Bottleneck(nn.Module):
@@ -89,6 +106,7 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
+    defer_epilogue: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -99,13 +117,17 @@ class Bottleneck(nn.Module):
         out = nn.relu(_ConvBN(self.planes, (3, 3), self.strides, self.dtype,
                               self.bn_axis_name, self.bn_groups,
                               name="cb2")(out, train))
-        out = _ConvBN(self.planes * 4, (1, 1), (1, 1), self.dtype,
-                      self.bn_axis_name, self.bn_groups, name="cb3")(out, train)
+        cb3 = _ConvBN(self.planes * 4, (1, 1), (1, 1), self.dtype,
+                      self.bn_axis_name, self.bn_groups,
+                      defer_affine=self.defer_epilogue, name="cb3")
         if self.downsample:
             identity = _ConvBN(self.planes * 4, (1, 1), self.strides,
                                self.dtype, self.bn_axis_name, self.bn_groups,
                                name="downsample")(x, train)
-        return nn.relu(out + identity)
+        if self.defer_epilogue:
+            out, a, b = cb3(out, train)
+            return out, identity, a, b
+        return nn.relu(cb3(out, train) + identity)
 
 
 class ResNetTSN(nn.Module):
@@ -127,6 +149,10 @@ class ResNetTSN(nn.Module):
     # (cheap on an underutilized MXU) for activation memory, unlocking
     # larger per-chip batches
     remat: bool = False
+    # fuse stage-boundary bn-apply+add+relu+temporal-pool into one Pallas
+    # kernel (ops/pallas/tpool_fused.py); default ON -- measured faster on
+    # the flagship step, bit-identical gradients, same param tree
+    fused_tpool: bool = True
 
     @property
     def feature_dim(self) -> int:
@@ -165,15 +191,39 @@ class ResNetTSN(nn.Module):
         for stage, blocks in enumerate(layers):
             planes = 64 * (2 ** stage)
             strides = (1, 1) if stage == 0 else (2, 2)
+            pool_here = (stage < 3 and not self.without_t_stride
+                         and cur_frames > 1)
+            # Fuse the last block's bn-apply+add+relu with the temporal pool
+            # in one Pallas kernel: avoids the frames-as-sublanes layout XLA
+            # picks for reduce-window over frames plus the intermediate
+            # materialization (~12 ms/step at batch 8 for stage 1 alone;
+            # BENCH.md). Grouped (per-replica) BN requires clips to divide
+            # evenly into groups for the per-row affine lookup.
+            n_clips = x.shape[0] // cur_frames
+            fuse_pool = (pool_here and self.fused_tpool
+                         and self.pooling_method == "max"
+                         and (self.bn_groups <= 1
+                              or (x.shape[0] % self.bn_groups == 0
+                                  and n_clips % self.bn_groups == 0)))
             for b in range(blocks):
                 needs_ds = (b == 0 and
                             (strides != (1, 1) or inplanes != planes * expansion))
-                x = block(planes, strides if b == 0 else (1, 1), needs_ds,
-                          self.dtype, self.bn_axis_name, self.bn_groups,
-                          name=f"layer{stage + 1}_{b}")(x, train)
+                blk = block(planes, strides if b == 0 else (1, 1), needs_ds,
+                            self.dtype, self.bn_axis_name, self.bn_groups,
+                            defer_epilogue=fuse_pool and b == blocks - 1,
+                            name=f"layer{stage + 1}_{b}")
+                if fuse_pool and b == blocks - 1:
+                    y, ident, aff_a, aff_b = blk(x, train)
+                    x = fused_bn_add_relu_tpool(
+                        unfold(y, cur_frames), unfold(ident, cur_frames),
+                        aff_a, aff_b)
+                    cur_frames = x.shape[1]
+                    x = fold(x)
+                else:
+                    x = blk(x, train)
                 inplanes = planes * expansion
             # temporal pooling after layers 1-3 (reference models/resnet.py:145-154)
-            if stage < 3 and not self.without_t_stride and cur_frames > 1:
+            if pool_here and not fuse_pool:
                 x = unfold(x, cur_frames)
                 x = temporal_pool(x, 3, 2, self.pooling_method)
                 cur_frames = x.shape[1]

@@ -1,0 +1,133 @@
+"""Fused stage-boundary epilogue: BN-apply + residual-add + ReLU + temporal
+max-pool in ONE Pallas kernel.
+
+Why this exists (measured, BENCH.md round 3): in the compiled train step XLA
+assigns the ResNet stage-boundary block output a frames-as-sublanes layout to
+feed `reduce-window` over the frame axis, which then runs ~6x below the
+fusion bandwidth this device achieves, plus a relayout afterwards -- ~12.4
+ms/step at batch 8 for stage 1 alone (HLO: fusion.152 + reduce-window.3 +
+reshape.516). The same math in isolation runs at 582 GB/s. This kernel pins
+row-major operands, reads the conv output and the residual exactly once,
+applies the BN affine (per group: per-replica BN support, models/norm.py),
+adds, relus, max-pools over frames, and writes only the pooled tensor --
+eliminating both the intermediate materialization and the layout churn.
+
+Semantics: identical to
+    relu(y * a + b + identity) -> temporal max-pool(k=3, s=2, pad=1)
+computed in float32 throughout and rounded once at the end (the XLA
+composition under --xla_allow_excess_precision, i.e. this device's actual
+numerics). Pooling matches reference TemporalPooling (reference
+models/common.py:4-33): out frames = floor((F + 2 - 3)/2) + 1.
+
+Backward: custom VJP recomputing through the reference jnp composition --
+the forward's speed does not change training gradients (tested bit-level
+against jax.vjp of the composition).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..temporal import temporal_pool
+
+
+def _out_frames(f: int, kernel: int = 3, stride: int = 2) -> int:
+    pad = (kernel - 1) // stride
+    return (f + 2 * pad - kernel) // stride + 1
+
+
+def reference_impl(y: jax.Array, ident: jax.Array, a: jax.Array,
+                   b: jax.Array) -> jax.Array:
+    """jnp twin (f32 throughout): y, ident (N, F, H, W, C); a, b (G, C)
+    grouped affine over the leading axis (G=1 == global BN)."""
+    g = a.shape[0]
+    n = y.shape[0]
+    bshape = (g, 1, 1, 1, 1, a.shape[-1])
+    yf = y.astype(jnp.float32).reshape((g, n // g) + y.shape[1:])
+    z = yf * a.reshape(bshape) + b.reshape(bshape)
+    z = z.reshape(y.shape) + ident.astype(jnp.float32)
+    z = jax.nn.relu(z)
+    return temporal_pool(z, 3, 2, "max").astype(y.dtype)
+
+
+def _kernel(y_ref, id_ref, a_ref, b_ref, o_ref, *, f_in):
+    z = y_ref[...].astype(jnp.float32) * a_ref[...] + b_ref[...]
+    z = jnp.maximum(z + id_ref[...].astype(jnp.float32), 0.0)
+    outs = []
+    for fo in range(_out_frames(f_in)):
+        lo, hi = max(0, 2 * fo - 1), min(f_in, 2 * fo + 2)
+        outs.append(jnp.max(z[:, lo:hi], axis=1, keepdims=True))
+    o_ref[...] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def _block_h(f: int, h: int, w: int, c: int, budget_elems: int = 920_000
+             ) -> int:
+    """Largest divisor of h keeping one input block under ~1.8 MB bf16 so
+    in/out blocks + f32 intermediates fit scoped VMEM."""
+    best = 1
+    for hb in range(1, h + 1):
+        if h % hb == 0 and f * hb * w * c <= budget_elems:
+            best = hb
+    return best
+
+
+def _pallas_fwd(y, ident, a, b):
+    from jax.experimental import pallas as pl
+
+    n, f, h, w, c = y.shape
+    g = a.shape[0]
+    fo = _out_frames(f)
+    hb = _block_h(f, h, w, c)
+    rows = n // g  # rows per BN group along the leading axis
+    grid = (n, h // hb)
+    blk = lambda i, j: (i, 0, j, 0, 0)
+    aff = lambda i, j: (i // rows, 0)
+    return pl.pallas_call(
+        functools.partial(_kernel, f_in=f),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, f, hb, w, c), blk),
+            pl.BlockSpec((1, f, hb, w, c), blk),
+            pl.BlockSpec((1, c), aff),
+            pl.BlockSpec((1, c), aff),
+        ],
+        out_specs=pl.BlockSpec((1, fo, hb, w, c), blk),
+        out_shape=jax.ShapeDtypeStruct((n, fo, h, w, c), y.dtype),
+    )(y, ident, a, b)
+
+
+def _supported(y, a) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    n, f, h, w, c = y.shape
+    g = a.shape[0]
+    if g < 1 or n % g or (n // g) < 1:
+        return False
+    return f >= 2 and _block_h(f, h, w, c) >= 1 and c % 8 == 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_bn_add_relu_tpool(y, ident, a, b):
+    """relu(y*a[g]+b[g] + ident) -> temporal max-pool, fused.
+
+    y, ident: (N, F, H, W, C); a, b: (G, C) with G dividing N (grouped BN
+    affine; G=1 is global). Returns (N, F_out, H, W, C) in y.dtype."""
+    if _supported(y, a):
+        return _pallas_fwd(y, ident, a, b)
+    return reference_impl(y, ident, a, b)
+
+
+def _fwd(y, ident, a, b):
+    return fused_bn_add_relu_tpool(y, ident, a, b), (y, ident, a, b)
+
+
+def _bwd(res, ct):
+    y, ident, a, b = res
+    _, vjp = jax.vjp(reference_impl, y, ident, a, b)
+    return vjp(ct)
+
+
+fused_bn_add_relu_tpool.defvjp(_fwd, _bwd)

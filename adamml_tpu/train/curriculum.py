@@ -108,7 +108,8 @@ def _make_loader(cfg: ExperimentConfig, dataset, *, is_train: bool):
         scale_range=cfg.data.scale_range,
         disable_scaleup=cfg.data.disable_scaleup,
         workers=cfg.data.workers, seed=cfg.runtime.seed,
-        num_shards=jax.process_count(), shard_index=jax.process_index())
+        num_shards=jax.process_count(), shard_index=jax.process_index(),
+        num_crops=cfg.data.num_crops)
 
 
 class AdaMMLTrainer:
@@ -183,7 +184,8 @@ class AdaMMLTrainer:
         self.step_policy = make_adamml_train_step(
             self.model, self.tx_main, self.tx_policy,
             flags=StageFlags.policy_phase(), **common)
-        self.eval_step = make_adamml_eval_step(self.model)
+        self.eval_step = make_adamml_eval_step(
+            self.model, num_crops=cfg.data.num_crops)
         self.steps_per_dispatch = max(1, cfg.optim.steps_per_dispatch)
         self.multi_main = self.multi_policy = None
         if self.steps_per_dispatch > 1:
@@ -496,7 +498,8 @@ class UnimodalTrainer:
         self.state = place_on_mesh(state, self.mesh)
         self.train_step = make_unimodal_train_step(
             self.model, self.tx, clip_gradient=cfg.optim.clip_gradient)
-        self.eval_step = make_unimodal_eval_step(self.model)
+        self.eval_step = make_unimodal_eval_step(
+            self.model, num_crops=cfg.data.num_crops)
         self.best_top1 = 0.0
         self.start_epoch = cfg.optim.start_epoch
         self.rng = jax.random.fold_in(rng, 23)

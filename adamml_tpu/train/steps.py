@@ -180,16 +180,29 @@ def make_adamml_multi_step(model, tx_main, tx_policy, *, flags: StageFlags,
     return jax.jit(multi, donate_argnums=(0,))
 
 
-def make_adamml_eval_step(model):
+def make_adamml_eval_step(model, num_crops: int = 1):
     """Returns jit(step)(state, inputs, target, rng) ->
     (logits, decisions, loss). Gumbel noise is still sampled at eval, as in
-    the reference (F.gumbel_softmax samples under model.eval())."""
+    the reference (F.gumbel_softmax samples under model.eval()).
+
+    num_crops > 1 (multi-crop oversample eval, reference GroupOverSample):
+    inputs carry N*num_crops rows (crops folded into batch by the device
+    pipeline); logits average over the crops and the reported decisions are
+    the canonical center-unflipped crop's."""
 
     def step(state: AdaMMLTrainState, inputs, target, rng):
         rngs = _step_rngs(rng, state.step)
         logits, decisions = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             inputs, state.temperature, train=False, rngs=rngs)
+        if num_crops > 1:
+            from ..data.aug_params import OVERSAMPLE_CENTER
+
+            logits = jnp.mean(
+                logits.reshape((-1, num_crops) + logits.shape[1:]), axis=1)
+            decisions = decisions.reshape(
+                (-1, num_crops) + decisions.shape[1:])[
+                    :, OVERSAMPLE_CENTER[num_crops]]
         loss = cross_entropy(logits, target)
         return logits, decisions, loss
 
@@ -222,12 +235,15 @@ def make_unimodal_train_step(model, tx, *, clip_gradient: Optional[float]):
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_unimodal_eval_step(model):
+def make_unimodal_eval_step(model, num_crops: int = 1):
     def step(state: AdaMMLTrainState, inputs, target, rng):
         rngs = _step_rngs(rng, state.step)
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             inputs, train=False, rngs=rngs)
+        if num_crops > 1:  # oversample: crops folded into batch; average
+            logits = jnp.mean(
+                logits.reshape((-1, num_crops) + logits.shape[1:]), axis=1)
         loss = cross_entropy(logits, target)
         return logits, loss
 

@@ -306,7 +306,6 @@ class TestFlagValidation:
     """Flags that can't work must fail loudly, not parse-and-ignore."""
 
     @pytest.mark.parametrize("argv", [
-        ["--num_crops", "3"],
         ["--threed_data"],
         ["--pred_files", "a.npy"],
         ["--pred_weights", "0.5"],

@@ -161,6 +161,9 @@ class DataConfig:
     # fixed-size canvas so batches have static shapes; true (h, w) ride along.
     canvas_size: Tuple[int, int] = (256, 464)
     use_native_decoder: bool = True
+    # within-sample native JPEG decode threads (across-sample parallelism
+    # comes from --workers); >1 pays off when workers < host cores
+    decode_threads: int = 1
     synthetic_length: int = 256  # videos in the synthetic dataset
 
 
@@ -283,6 +286,8 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--resampling_rate", type=float, default=24000)
     p.add_argument("--synthetic_length", type=int, default=256)
     p.add_argument("--disable_native_decoder", action="store_true")
+    p.add_argument("--decode_threads", default=1, type=int,
+                   help="native JPEG decode threads per sample")
 
     # logging
     p.add_argument("--logdir", default="", type=str)
@@ -400,6 +405,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         val_num_clips=args.val_num_clips,
         synthetic_length=args.synthetic_length,
         use_native_decoder=not args.disable_native_decoder,
+        decode_threads=args.decode_threads,
     )
     runtime = RuntimeConfig(
         logdir=args.logdir, print_freq=args.print_freq, show_model=args.show_model,

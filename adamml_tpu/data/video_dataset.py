@@ -45,7 +45,8 @@ class VideoDataset:
                  num_classes: Optional[int] = None, fps: float = 29.97,
                  audio_length: float = 1.28, resampling_rate: float = 24000,
                  canvas_size: Tuple[int, int] = (256, 464),
-                 use_native_decoder: bool = True) -> None:
+                 use_native_decoder: bool = True,
+                 decode_threads: int = 1) -> None:
         if modality not in ("flow", "rgb", "rgbdiff", "sound"):
             raise ValueError(f"bad modality {modality!r}")
         self.root_path = root_path
@@ -63,6 +64,10 @@ class VideoDataset:
         self.resampling_rate = resampling_rate
         self.canvas_size = tuple(canvas_size)
         self.use_native_decoder = use_native_decoder
+        # within-sample decode parallelism for the GIL-free native decoder;
+        # the loader thread pool already parallelizes ACROSS samples, so >1
+        # helps when workers < cores (see tools/bench_pipeline.py --threads)
+        self.decode_threads = max(1, decode_threads)
         self.num_consecutive_frames = NUM_CONSECUTIVE_FRAMES[modality]
         self.num_classes = num_classes
         self.video_list, self.multi_label = parse_list_file(
@@ -134,7 +139,8 @@ class VideoDataset:
                 from .native_decode import decode_jpeg_batch, native_available
 
                 if native_available():
-                    out_hw = decode_jpeg_batch(paths, frames, n_threads=1)
+                    out_hw = decode_jpeg_batch(
+                        paths, frames, n_threads=self.decode_threads)
                     done = out_hw[:, 0] > 0
                     if done.any():
                         hw[:] = out_hw[done][0]

@@ -94,7 +94,8 @@ def _make_dataset(cfg: ExperimentConfig, *, is_train: bool, num_clips: int):
                   audio_length=d.audio_length,
                   resampling_rate=d.resampling_rate,
                   canvas_size=d.canvas_size,
-                  use_native_decoder=d.use_native_decoder)
+                  use_native_decoder=d.use_native_decoder,
+                  decode_threads=d.decode_threads)
     # MultiVideoDataset covers unimodal too (single-entry modality list), so
     # every consumer sees the same {modality: payload} contract.
     return MultiVideoDataset(d.datadir, list_name, m.modality, **kwargs)

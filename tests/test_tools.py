@@ -134,3 +134,15 @@ class TestExtractAudio:
         r = _run("extract_audio.py", [], env)
         assert r.returncode == 1
         assert "Usage" in r.stdout
+
+
+class TestDecodeThreadsKnob:
+    def test_decode_threads_plumbs_to_dataset(self, tmp_path):
+        """--decode_threads reaches the native decode call site
+        (video_dataset.py)."""
+        from adamml_tpu.configs.config import arg_parser, config_from_args
+
+        parser = arg_parser()
+        args = parser.parse_args(["--decode_threads", "4"])
+        cfg = config_from_args(args)
+        assert cfg.data.decode_threads == 4

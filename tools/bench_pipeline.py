@@ -58,7 +58,45 @@ def generate_tree(root: str, videos: int) -> None:
           f"{time.time() - t0:.1f}s", flush=True)
 
 
+def bench_decode_threads(videos: int = 4) -> int:
+    """Native-decoder thread-scaling table (--threads): decodes the same
+    JPEG set with n_threads 1/2/4/8 via decode_jpeg_batch, substantiating
+    the host-core scaling claim in BENCH.md (the loader's across-sample
+    thread pool composes with this within-sample knob; both are GIL-free)."""
+    from adamml_tpu.data.native_decode import decode_jpeg_batch, native_available
+
+    if not native_available():
+        print("native decoder unavailable; build adamml_tpu/native first")
+        return 1
+    root = os.environ.get("BENCH_PIPELINE_DIR")
+    if not root:
+        root = tempfile.mkdtemp(prefix="adamml_pipe_")
+    if not os.path.isdir(os.path.join(root, "rgb")):
+        generate_tree(root, videos)
+    paths = []
+    for v in range(videos):
+        vdir = os.path.join(root, "rgb", f"vid_{v}")
+        paths += [os.path.join(vdir, f"{i:05d}.jpg")
+                  for i in range(1, FRAMES + 1)]
+    canvas = np.zeros((len(paths), H, 464, 3), np.uint8)
+    decode_jpeg_batch(paths[:8], canvas[:8], n_threads=1)  # warm cache
+    print(f"# {len(paths)} JPEGs ({H}x{W}), {os.cpu_count()} host cores")
+    base = None
+    for nt in (1, 2, 4, 8):
+        t0 = time.perf_counter()
+        decode_jpeg_batch(paths, canvas, n_threads=nt)
+        dt = time.perf_counter() - t0
+        base = base or dt
+        print(f"n_threads={nt}: {dt * 1e3:7.1f} ms total  "
+              f"{dt / len(paths) * 1e3:5.2f} ms/img  "
+              f"speedup x{base / dt:.2f}", flush=True)
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--threads":
+        return bench_decode_threads(int(sys.argv[2]) if len(sys.argv) > 2
+                                    else 4)
     videos = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 12

@@ -342,12 +342,16 @@ def validate_args(parser: argparse.ArgumentParser,
         parser.error("--threed_data requires a 3D backbone; none is in the "
                      "model table (the reference's default 's3d' is absent "
                      "from its MODEL_TABLE as well)")
-    if args.pred_files or args.pred_weights is not None:
-        parser.error("--pred_files/--pred_weights offline ensemble scoring "
-                     "is not implemented; evaluate with -e instead")
-    if args.after_softmax:
-        parser.error("--after_softmax only applies to --pred_files ensemble "
-                     "scoring, which is not implemented")
+    # offline ensemble scoring (utils/ensemble.py): flags must be coherent
+    if args.pred_weights is not None and not args.pred_files:
+        parser.error("--pred_weights requires --pred_files")
+    if args.after_softmax and not args.pred_files:
+        parser.error("--after_softmax only applies to --pred_files "
+                     "ensemble scoring")
+    if (args.pred_files and args.pred_weights is not None
+            and len(args.pred_weights) != len(args.pred_files)):
+        parser.error("--pred_weights must have one weight per --pred_files "
+                     "entry")
     for flag, val in (("--gpu", args.gpu), ("--gpu_id", args.gpu_id),
                       ("--disable_cudnn_benchmark",
                        args.disable_cudnn_benchmark),

@@ -84,19 +84,22 @@ def _pallas_fwd(y, ident, a, b):
     rows = n // g  # rows per BN group along the leading axis
     grid = (n, h // hb)
     blk = lambda i, j: (i, 0, j, 0, 0)
-    aff = lambda i, j: (i // rows, 0)
+    # (G, 1, C) so the affine block's trailing dims match the array exactly
+    # (TPU pallas requires trailing block dims divisible by (8, 128) or
+    # equal to the array's)
+    aff = lambda i, j: (i // rows, 0, 0)
     return pl.pallas_call(
         functools.partial(_kernel, f_in=f),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, f, hb, w, c), blk),
             pl.BlockSpec((1, f, hb, w, c), blk),
-            pl.BlockSpec((1, c), aff),
-            pl.BlockSpec((1, c), aff),
+            pl.BlockSpec((1, 1, c), aff),
+            pl.BlockSpec((1, 1, c), aff),
         ],
         out_specs=pl.BlockSpec((1, fo, hb, w, c), blk),
         out_shape=jax.ShapeDtypeStruct((n, fo, h, w, c), y.dtype),
-    )(y, ident, a, b)
+    )(y, ident, a.reshape(g, 1, c), b.reshape(g, 1, c))
 
 
 def _supported(y, a) -> bool:

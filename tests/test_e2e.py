@@ -307,9 +307,9 @@ class TestFlagValidation:
 
     @pytest.mark.parametrize("argv", [
         ["--threed_data"],
-        ["--pred_files", "a.npy"],
-        ["--pred_weights", "0.5"],
-        ["--after_softmax"],
+        ["--pred_weights", "0.5"],  # weights without files
+        ["--after_softmax"],        # softmax without files
+        ["--pred_files", "a.npy", "b.npy", "--pred_weights", "0.5"],
     ])
     def test_unsupported_flags_error(self, argv):
         from adamml_tpu.configs.config import arg_parser, validate_args

@@ -51,6 +51,7 @@ class JointMainNet(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
+    bn_seq_groups: int = 1
 
     def _backbone(self, m: str):
         if m != "sound":
@@ -59,13 +60,16 @@ class JointMainNet(nn.Module):
                              without_t_stride=self.without_t_stride,
                              pooling_method=self.pooling_method,
                              dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-                             bn_groups=self.bn_groups, remat=self.remat,
+                             bn_groups=self.bn_groups,
+                             bn_seq_groups=self.bn_seq_groups,
+                             remat=self.remat,
                              fused_tpool=self.fused_tpool,
                              name=f"net_{m}")
         return MobileNetV2(num_classes=self.num_classes, dropout=self.dropout,
                            use_pallas_dw=self.use_pallas_dw,
                            dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                            bn_groups=self.bn_groups,
+                           bn_seq_groups=self.bn_seq_groups,
                            name=f"net_{m}")
 
     @nn.compact

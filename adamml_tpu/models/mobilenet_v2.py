@@ -60,6 +60,7 @@ class _ConvBNReLU6(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
+    bn_seq_groups: int = 1
     use_pallas_dw: bool = False
 
     @nn.compact
@@ -82,7 +83,8 @@ class _ConvBNReLU6(nn.Module):
         x = GroupedBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              axis_name=self.bn_axis_name,
-                             groups=self.bn_groups, name="bn")(x)
+                             groups=self.bn_groups,
+                               seq_groups=self.bn_seq_groups, name="bn")(x)
         return jax.nn.relu6(x)
 
 
@@ -114,6 +116,7 @@ class InvertedResidual(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
+    bn_seq_groups: int = 1
     use_pallas_dw: bool = False
 
     @nn.compact
@@ -126,10 +129,12 @@ class InvertedResidual(nn.Module):
             out = _ConvBNReLU6(hidden, 1, 1, dtype=self.dtype,
                                bn_axis_name=self.bn_axis_name,
                                bn_groups=self.bn_groups,
+                               bn_seq_groups=self.bn_seq_groups,
                                name="pw")(out, train)
         out = _ConvBNReLU6(hidden, 3, self.strides, groups=hidden,
                            dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                            bn_groups=self.bn_groups,
+                               bn_seq_groups=self.bn_seq_groups,
                            use_pallas_dw=self.use_pallas_dw,
                            name="dw")(out, train)
         out = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
@@ -137,7 +142,8 @@ class InvertedResidual(nn.Module):
         out = GroupedBatchNorm(use_running_average=not train, momentum=0.9,
                                epsilon=1e-5, dtype=self.dtype,
                                axis_name=self.bn_axis_name,
-                               groups=self.bn_groups, name="bn_linear")(out)
+                               groups=self.bn_groups,
+                               seq_groups=self.bn_seq_groups, name="bn_linear")(out)
         return x + out if use_res else out
 
 
@@ -165,6 +171,7 @@ class MobileNetV2(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
+    bn_seq_groups: int = 1
 
     @property
     def last_channel(self) -> int:
@@ -180,6 +187,7 @@ class MobileNetV2(nn.Module):
         x = _ConvBNReLU6(input_channel, 3, 2, dtype=self.dtype,
                          bn_axis_name=self.bn_axis_name,
                          bn_groups=self.bn_groups,
+                               bn_seq_groups=self.bn_seq_groups,
                          name="features_0")(x, train)
 
         cur_frames = f
@@ -197,6 +205,7 @@ class MobileNetV2(nn.Module):
                                      dtype=self.dtype,
                                      bn_axis_name=self.bn_axis_name,
                                      bn_groups=self.bn_groups,
+                               bn_seq_groups=self.bn_seq_groups,
                                      use_pallas_dw=self.use_pallas_dw,
                                      name=f"features_{idx}")(x, train)
                 idx += 1
@@ -204,6 +213,7 @@ class MobileNetV2(nn.Module):
         x = _ConvBNReLU6(self.last_channel, 1, 1, dtype=self.dtype,
                          bn_axis_name=self.bn_axis_name,
                          bn_groups=self.bn_groups,
+                               bn_seq_groups=self.bn_seq_groups,
                          name="conv_last")(x, train)
         x = jnp.mean(x, axis=(1, 2))  # (N*F_out, last_channel)
 

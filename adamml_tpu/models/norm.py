@@ -40,6 +40,14 @@ class GroupedBatchNorm(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     groups: int = 1
+    # seq_groups: leading-axis groups processed SEQUENTIALLY by the
+    # reference (its per-segment main/policy-net loop, reference
+    # models/adamml.py:84-86, models/policy_net.py:321-327): train-mode
+    # moments are per (segment x replica-group) -- the leading axis splits
+    # into seq_groups*groups contiguous blocks (segment-major) -- and the
+    # running stats fold the seq_groups moment sets sequentially, exactly
+    # like S consecutive torch BN forwards. seq_groups=1 == plain behavior.
+    seq_groups: int = 1
     # return the per-group affine (a, b) with a = scale*rsqrt(var+eps) and
     # b = bias - mean*a INSTEAD of applying it, so a consumer can fuse the
     # normalize into its own kernel (ops/pallas/tpool_fused.py). Moments and
@@ -73,8 +81,9 @@ class GroupedBatchNorm(nn.Module):
 
         xf = x.astype(jnp.float32)
         n = x.shape[0]
-        g = self.groups
-        if g > 1 and n % g == 0 and n >= g:
+        g = self.groups * self.seq_groups  # total contiguous moment groups
+        grouped = g > 1 and n % g == 0 and n >= g
+        if grouped:
             # per-group moments over (rows-in-group, spatial...) per channel
             xg = xf.reshape((g, n // g) + x.shape[1:])
             red = tuple(range(1, xg.ndim - 1))
@@ -84,26 +93,46 @@ class GroupedBatchNorm(nn.Module):
             y = (xg - mean_g.reshape(bshape)) * jax.lax.rsqrt(
                 var_g.reshape(bshape) + self.epsilon)
             y = y.reshape(x.shape)
-            upd_mean, upd_var = mean_g[0], var_g[0]      # rank-0 buffers win
+            # running stats see replica-group 0's moments (DDP
+            # broadcast_buffers: rank 0's buffers win), one moment set per
+            # sequential (segment) group
+            seq = self.seq_groups
+            upd_mean = mean_g.reshape(seq, -1, features)[:, 0]   # (seq, C)
+            upd_var = var_g.reshape(seq, -1, features)[:, 0]
+            count = xg.size // (g * features)            # elems per group/chan
         else:
             # global moments (also the fallback when the batch doesn't split,
             # e.g. model init on a tiny example batch)
             red = tuple(range(xf.ndim - 1))
             mean = xf.mean(red)
             var = jnp.square(xf).mean(red) - jnp.square(mean)
+            count = xf.size // features
             if self.axis_name is not None:  # shard_map callers
                 mean = jax.lax.pmean(mean, self.axis_name)
                 var = jax.lax.pmean(
                     var + jnp.square(xf.mean(red) - mean), self.axis_name)
+                count = count * jax.lax.psum(1, self.axis_name)
             y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-            upd_mean, upd_var = mean, var
+            upd_mean, upd_var = mean[None], var[None]    # (1, C)
 
         if not self.is_initializing():
             m = self.momentum
-            ra_mean.value = m * ra_mean.value + (1.0 - m) * upd_mean
-            ra_var.value = m * ra_var.value + (1.0 - m) * upd_var
+            # torch stores the UNBIASED variance in running_var (normalize
+            # uses the biased one) -- match it for checkpoint/eval parity.
+            # count may be traced (psum under shard_map), so keep this as
+            # array arithmetic.
+            cf = jnp.asarray(count, jnp.float32)
+            upd_var = upd_var * jnp.where(cf > 1.0, cf / jnp.maximum(
+                cf - 1.0, 1.0), 1.0)
+            # sequential fold over the seq (segment) moment sets: identical
+            # to the reference applying BN once per segment in its loop --
+            # ra <- m^seq * ra + (1-m) * sum_i m^(seq-1-i) * moment_i
+            seq = upd_mean.shape[0]
+            w = (1.0 - m) * m ** jnp.arange(seq - 1, -1, -1, dtype=jnp.float32)
+            ra_mean.value = (m ** seq) * ra_mean.value + w @ upd_mean
+            ra_var.value = (m ** seq) * ra_var.value + w @ upd_var
         if self.return_affine:
-            if g > 1 and n % g == 0 and n >= g:
+            if grouped:
                 return affine(mean_g, var_g)
-            return affine(upd_mean[None], upd_var[None])
+            return affine(mean[None], var[None])
         return (y * scale + bias).astype(self.dtype)

@@ -45,6 +45,7 @@ class _ConvBN(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
+    bn_seq_groups: int = 1
     # defer the BN affine: return (conv_out, a, b) with a/b per group so the
     # caller can fuse normalize+add+relu+pool into one Pallas kernel
     # (ops/pallas/tpool_fused.py). BN moments/stats update identically.
@@ -59,6 +60,7 @@ class _ConvBN(nn.Module):
                               epsilon=1e-5, dtype=self.dtype,
                               axis_name=self.bn_axis_name,
                               groups=self.bn_groups,
+                              seq_groups=self.bn_seq_groups,
                               return_affine=self.defer_affine, name="bn")
         if self.defer_affine:
             a, b = bn(x)
@@ -74,6 +76,7 @@ class BasicBlock(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
+    bn_seq_groups: int = 1
     # defer the final bn-apply + residual-add + relu so a stage-boundary
     # caller can fuse them with the temporal pool; returns
     # (conv_out, identity, a, b). Parameter tree is unchanged.
@@ -83,14 +86,14 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool):
         identity = x
         out = _ConvBN(self.planes, (3, 3), self.strides, self.dtype,
-                      self.bn_axis_name, self.bn_groups, name="cb1")(x, train)
+                      self.bn_axis_name, self.bn_groups, self.bn_seq_groups, name="cb1")(x, train)
         out = nn.relu(out)
         cb2 = _ConvBN(self.planes, (3, 3), (1, 1), self.dtype,
-                      self.bn_axis_name, self.bn_groups,
+                      self.bn_axis_name, self.bn_groups, self.bn_seq_groups,
                       defer_affine=self.defer_epilogue, name="cb2")
         if self.downsample:
             identity = _ConvBN(self.planes, (1, 1), self.strides, self.dtype,
-                               self.bn_axis_name, self.bn_groups,
+                               self.bn_axis_name, self.bn_groups, self.bn_seq_groups,
                                name="downsample")(x, train)
         if self.defer_epilogue:
             out, a, b = cb2(out, train)
@@ -106,6 +109,7 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
+    bn_seq_groups: int = 1
     defer_epilogue: bool = False
 
     @nn.compact
@@ -113,16 +117,16 @@ class Bottleneck(nn.Module):
         identity = x
         out = nn.relu(_ConvBN(self.planes, (1, 1), (1, 1), self.dtype,
                               self.bn_axis_name, self.bn_groups,
-                              name="cb1")(x, train))
+                              self.bn_seq_groups, name="cb1")(x, train))
         out = nn.relu(_ConvBN(self.planes, (3, 3), self.strides, self.dtype,
                               self.bn_axis_name, self.bn_groups,
-                              name="cb2")(out, train))
+                              self.bn_seq_groups, name="cb2")(out, train))
         cb3 = _ConvBN(self.planes * 4, (1, 1), (1, 1), self.dtype,
-                      self.bn_axis_name, self.bn_groups,
+                      self.bn_axis_name, self.bn_groups, self.bn_seq_groups,
                       defer_affine=self.defer_epilogue, name="cb3")
         if self.downsample:
             identity = _ConvBN(self.planes * 4, (1, 1), self.strides,
-                               self.dtype, self.bn_axis_name, self.bn_groups,
+                               self.dtype, self.bn_axis_name, self.bn_groups, self.bn_seq_groups,
                                name="downsample")(x, train)
         if self.defer_epilogue:
             out, a, b = cb3(out, train)
@@ -145,6 +149,10 @@ class ResNetTSN(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
+    # per-segment BN moment groups (reference runs the main net once per
+    # segment, so its train-mode BN statistics are per segment; the AdaMML
+    # wrapper folds segments SEGMENT-MAJOR into the batch and sets this to S)
+    bn_seq_groups: int = 1
     # rematerialize block internals in the backward pass: trades recompute
     # (cheap on an underutilized MXU) for activation memory, unlocking
     # larger per-chip batches
@@ -182,7 +190,8 @@ class ResNetTSN(nn.Module):
         x = GroupedBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              axis_name=self.bn_axis_name,
-                             groups=self.bn_groups, name="bn1")(x)
+                             groups=self.bn_groups,
+                             seq_groups=self.bn_seq_groups, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -200,16 +209,18 @@ class ResNetTSN(nn.Module):
             # BENCH.md). Grouped (per-replica) BN requires clips to divide
             # evenly into groups for the per-row affine lookup.
             n_clips = x.shape[0] // cur_frames
+            total_groups = max(1, self.bn_groups) * max(1, self.bn_seq_groups)
             fuse_pool = (pool_here and self.fused_tpool
                          and self.pooling_method == "max"
-                         and (self.bn_groups <= 1
-                              or (x.shape[0] % self.bn_groups == 0
-                                  and n_clips % self.bn_groups == 0)))
+                         and (total_groups <= 1
+                              or (x.shape[0] % total_groups == 0
+                                  and n_clips % total_groups == 0)))
             for b in range(blocks):
                 needs_ds = (b == 0 and
                             (strides != (1, 1) or inplanes != planes * expansion))
                 blk = block(planes, strides if b == 0 else (1, 1), needs_ds,
                             self.dtype, self.bn_axis_name, self.bn_groups,
+                            self.bn_seq_groups,
                             defer_epilogue=fuse_pool and b == blocks - 1,
                             name=f"layer{stage + 1}_{b}")
                 if fuse_pool and b == blocks - 1:

@@ -60,10 +60,11 @@ class TestGroupedBatchNorm:
         assert np.abs(y1 - y2).max() > 0.1
 
     def test_running_stats_use_group0(self):
-        # DDP broadcast_buffers=True: rank 0's buffers win every step
+        # DDP broadcast_buffers=True: rank 0's buffers win every step.
+        # torch running_var stores the UNBIASED variance (ddof=1).
         _, stats = _run(jnp.asarray(self.x), groups=2)
         m0 = self.x[:4].mean(axis=(0, 1, 2))
-        v0 = self.x[:4].var(axis=(0, 1, 2))
+        v0 = self.x[:4].var(axis=(0, 1, 2), ddof=1)
         np.testing.assert_allclose(stats["mean"], 0.1 * m0, atol=1e-5)
         np.testing.assert_allclose(stats["var"], 0.9 + 0.1 * v0, atol=1e-5)
 
@@ -110,3 +111,21 @@ class TestGroupedBatchNorm:
 
         np.testing.assert_allclose(np.asarray(f(variables, xs)),
                                    np.asarray(f(variables, x)), atol=1e-5)
+
+
+def test_running_var_matches_torch_unbiased():
+    """torch BatchNorm stores the UNBIASED variance in running_var while
+    normalizing with the biased one; running_mean is the plain mean."""
+    rng = np.random.default_rng(5)
+    x_np = rng.normal(size=(6, 7, 7, 3)).astype(np.float32) * 2.0 + 0.5
+    bn = GroupedBatchNorm(use_running_average=False, momentum=0.9)
+    v = bn.init(jax.random.PRNGKey(0), x_np)
+    _, mut = bn.apply(v, x_np, mutable=["batch_stats"])
+
+    tbn = torch.nn.BatchNorm2d(3, momentum=0.1, eps=1e-5)
+    tbn.train()
+    tbn(torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2)).copy()))
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["mean"]),
+                               tbn.running_mean.detach().numpy(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["var"]),
+                               tbn.running_var.detach().numpy(), rtol=1e-5)

@@ -110,16 +110,18 @@ class AdaMML(nn.Module):
                                name="policy_net")
             decisions, _ = policy(p_x, temperature, train=train)  # (S, M, N)
 
-        # main net: fold segments into batch SEGMENT-MAJOR (replaces the
-        # per-segment loop, reference models/adamml.py:84-86). Segment-major
-        # ordering makes the reference's per-segment train-mode BatchNorm
-        # statistics expressible as contiguous moment groups
-        # (GroupedBatchNorm seq_groups=s).
+        # main net: fold segments into batch, clip-major (replaces the
+        # per-segment loop, reference models/adamml.py:84-86) -- a free
+        # reshape, no transpose. The reference's per-segment train-mode
+        # BatchNorm statistics are recovered inside the backbones by
+        # GroupedBatchNorm's (clips, segments, frames) factorization
+        # (seq_groups=s), also transpose-free.
         m_x = []
         for m in m_mod:
             t = x[mod.index(m)]
-            m_x.append(jnp.swapaxes(t, 0, 1).reshape((s * n,) + t.shape[2:]))
-        dec_flat = decisions.transpose(1, 0, 2).reshape(num_modality, s * n)
+            m_x.append(t.reshape((n * s,) + t.shape[2:]))
+        dec_flat = jnp.transpose(decisions, (1, 2, 0)).reshape(num_modality,
+                                                               n * s)
         main = JointMainNet(modality=m_mod, depth=self.depth,
                             num_classes=self.num_classes, dropout=self.dropout,
                             without_t_stride=self.without_t_stride,
@@ -134,6 +136,6 @@ class AdaMML(nn.Module):
                             bn_groups=self.bn_groups,
                             bn_seq_groups=s,
                             name="main_net")
-        seg_logits = main(m_x, dec_flat, train=train)  # (S*N, K)
-        final = jnp.mean(seg_logits.reshape(s, n, -1), axis=0)  # segment mean
+        seg_logits = main(m_x, dec_flat, train=train)  # (N*S, K)
+        final = jnp.mean(seg_logits.reshape(n, s, -1), axis=1)  # segment mean
         return final, jnp.transpose(decisions, (2, 0, 1))  # (N, K), (N, S, M)

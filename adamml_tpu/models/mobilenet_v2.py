@@ -61,6 +61,7 @@ class _ConvBNReLU6(nn.Module):
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
     bn_seq_groups: int = 1
+    bn_seq_inner: int = 1
     use_pallas_dw: bool = False
 
     @nn.compact
@@ -84,7 +85,8 @@ class _ConvBNReLU6(nn.Module):
                              epsilon=1e-5, dtype=self.dtype,
                              axis_name=self.bn_axis_name,
                              groups=self.bn_groups,
-                               seq_groups=self.bn_seq_groups, name="bn")(x)
+                               seq_groups=self.bn_seq_groups,
+                               seq_inner=self.bn_seq_inner, name="bn")(x)
         return jax.nn.relu6(x)
 
 
@@ -117,6 +119,7 @@ class InvertedResidual(nn.Module):
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
     bn_seq_groups: int = 1
+    bn_seq_inner: int = 1
     use_pallas_dw: bool = False
 
     @nn.compact
@@ -130,11 +133,13 @@ class InvertedResidual(nn.Module):
                                bn_axis_name=self.bn_axis_name,
                                bn_groups=self.bn_groups,
                                bn_seq_groups=self.bn_seq_groups,
+                               bn_seq_inner=self.bn_seq_inner,
                                name="pw")(out, train)
         out = _ConvBNReLU6(hidden, 3, self.strides, groups=hidden,
                            dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                            bn_groups=self.bn_groups,
                                bn_seq_groups=self.bn_seq_groups,
+                               bn_seq_inner=self.bn_seq_inner,
                            use_pallas_dw=self.use_pallas_dw,
                            name="dw")(out, train)
         out = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
@@ -143,7 +148,8 @@ class InvertedResidual(nn.Module):
                                epsilon=1e-5, dtype=self.dtype,
                                axis_name=self.bn_axis_name,
                                groups=self.bn_groups,
-                               seq_groups=self.bn_seq_groups, name="bn_linear")(out)
+                               seq_groups=self.bn_seq_groups,
+                               seq_inner=self.bn_seq_inner, name="bn_linear")(out)
         return x + out if use_res else out
 
 
@@ -172,6 +178,7 @@ class MobileNetV2(nn.Module):
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
     bn_seq_groups: int = 1
+    bn_seq_inner: int = 1
 
     @property
     def last_channel(self) -> int:
@@ -187,7 +194,8 @@ class MobileNetV2(nn.Module):
         x = _ConvBNReLU6(input_channel, 3, 2, dtype=self.dtype,
                          bn_axis_name=self.bn_axis_name,
                          bn_groups=self.bn_groups,
-                               bn_seq_groups=self.bn_seq_groups,
+                         bn_seq_groups=self.bn_seq_groups,
+                         bn_seq_inner=f,  # frames folded after segments
                          name="features_0")(x, train)
 
         cur_frames = f
@@ -205,7 +213,8 @@ class MobileNetV2(nn.Module):
                                      dtype=self.dtype,
                                      bn_axis_name=self.bn_axis_name,
                                      bn_groups=self.bn_groups,
-                               bn_seq_groups=self.bn_seq_groups,
+                                     bn_seq_groups=self.bn_seq_groups,
+                                     bn_seq_inner=cur_frames,
                                      use_pallas_dw=self.use_pallas_dw,
                                      name=f"features_{idx}")(x, train)
                 idx += 1
@@ -213,7 +222,8 @@ class MobileNetV2(nn.Module):
         x = _ConvBNReLU6(self.last_channel, 1, 1, dtype=self.dtype,
                          bn_axis_name=self.bn_axis_name,
                          bn_groups=self.bn_groups,
-                               bn_seq_groups=self.bn_seq_groups,
+                         bn_seq_groups=self.bn_seq_groups,
+                         bn_seq_inner=cur_frames,
                          name="conv_last")(x, train)
         x = jnp.mean(x, axis=(1, 2))  # (N*F_out, last_channel)
 

@@ -40,14 +40,18 @@ class GroupedBatchNorm(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     groups: int = 1
-    # seq_groups: leading-axis groups processed SEQUENTIALLY by the
-    # reference (its per-segment main/policy-net loop, reference
-    # models/adamml.py:84-86, models/policy_net.py:321-327): train-mode
-    # moments are per (segment x replica-group) -- the leading axis splits
-    # into seq_groups*groups contiguous blocks (segment-major) -- and the
-    # running stats fold the seq_groups moment sets sequentially, exactly
-    # like S consecutive torch BN forwards. seq_groups=1 == plain behavior.
+    # seq_groups/seq_inner: groups processed SEQUENTIALLY by the reference
+    # (its per-segment main/policy-net loop, reference models/adamml.py:84-86,
+    # models/policy_net.py:321-327): train-mode moments are per
+    # (segment x replica-group), and running stats fold the seq_groups moment
+    # sets sequentially, exactly like S consecutive torch BN forwards.
+    # The leading axis is (clips, segments, frames)-ordered -- clip-major, so
+    # replica groups stay contiguous leading blocks (no data transposes
+    # anywhere) and the factorization (groups, clips/groups, seq_groups,
+    # seq_inner) is a free reshape. seq_inner = rows folded AFTER the segment
+    # axis (the current frame count at this layer). seq_groups=1 == plain.
     seq_groups: int = 1
+    seq_inner: int = 1
     # return the per-group affine (a, b) with a = scale*rsqrt(var+eps) and
     # b = bias - mean*a INSTEAD of applying it, so a consumer can fuse the
     # normalize into its own kernel (ops/pallas/tpool_fused.py). Moments and
@@ -74,32 +78,34 @@ class GroupedBatchNorm(nn.Module):
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
             if self.return_affine:
-                return affine(mean[None], var[None])
+                return affine(mean[None, None], var[None, None])  # (1, 1, C)
             y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(
                 var + self.epsilon)
             return (y * scale + bias).astype(self.dtype)
 
         xf = x.astype(jnp.float32)
         n = x.shape[0]
-        g = self.groups * self.seq_groups  # total contiguous moment groups
-        grouped = g > 1 and n % g == 0 and n >= g
+        r = max(1, self.groups)
+        sq = max(1, self.seq_groups)
+        si = max(1, self.seq_inner)
+        grouped = (r * sq > 1 and n % (r * sq * si) == 0 and n >= r * sq * si)
         if grouped:
-            # per-group moments over (rows-in-group, spatial...) per channel
-            xg = xf.reshape((g, n // g) + x.shape[1:])
-            red = tuple(range(1, xg.ndim - 1))
-            mean_g = xg.mean(red)                        # (G, C)
+            # leading axis (clips, segments, frames)-ordered factors freely
+            # into (replica, clips-in-replica, segment, frames): moments per
+            # (replica, segment) over (clips, frames, spatial...) per channel
+            xg = xf.reshape((r, n // (r * sq * si), sq, si) + x.shape[1:])
+            red = (1, 3) + tuple(range(4, xg.ndim - 1))
+            mean_g = xg.mean(red)                        # (R, S, C)
             var_g = (jnp.square(xg).mean(red) - jnp.square(mean_g))
-            bshape = (g,) + (1,) * (xg.ndim - 2) + (features,)
+            bshape = (r, 1, sq, 1) + (1,) * (xg.ndim - 5) + (features,)
             y = (xg - mean_g.reshape(bshape)) * jax.lax.rsqrt(
                 var_g.reshape(bshape) + self.epsilon)
             y = y.reshape(x.shape)
             # running stats see replica-group 0's moments (DDP
             # broadcast_buffers: rank 0's buffers win), one moment set per
             # sequential (segment) group
-            seq = self.seq_groups
-            upd_mean = mean_g.reshape(seq, -1, features)[:, 0]   # (seq, C)
-            upd_var = var_g.reshape(seq, -1, features)[:, 0]
-            count = xg.size // (g * features)            # elems per group/chan
+            upd_mean, upd_var = mean_g[0], var_g[0]      # (S, C)
+            count = xg.size // (r * sq * features)       # elems per group/chan
         else:
             # global moments (also the fallback when the batch doesn't split,
             # e.g. model init on a tiny example batch)
@@ -133,6 +139,6 @@ class GroupedBatchNorm(nn.Module):
             ra_var.value = (m ** seq) * ra_var.value + w @ upd_var
         if self.return_affine:
             if grouped:
-                return affine(mean_g, var_g)
-            return affine(mean[None], var[None])
+                return affine(mean_g, var_g)         # (R, S, C) each
+            return affine(mean[None, None], var[None, None])  # (1, 1, C)
         return (y * scale + bias).astype(self.dtype)

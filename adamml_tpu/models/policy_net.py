@@ -85,10 +85,12 @@ class PolicyNet(nn.Module):
         feats = []
         for m_i, m in enumerate(self.modality):
             x = p_x[m_i]
-            # fold segments into batch SEGMENT-MAJOR: the reference's policy
-            # trunk also runs once per segment (models/policy_net.py:321-327),
-            # so train-mode BN moments are per segment (seq_groups)
-            xf = jnp.swapaxes(x, 0, 1).reshape((s * n,) + x.shape[2:])
+            # fold segments into batch, clip-major (free reshape): the
+            # reference's policy trunk runs once per segment
+            # (models/policy_net.py:321-327); its per-segment train-mode BN
+            # moments are recovered by GroupedBatchNorm's interleaved
+            # (clips, segments, frames) factorization (seq_groups)
+            xf = x.reshape((n * s,) + x.shape[2:])
             trunk = MobileNetV2(temporal_pooling=True,
                                 use_pallas_dw=self.use_pallas_dw,
                                 dtype=self.dtype,
@@ -96,28 +98,28 @@ class PolicyNet(nn.Module):
                                 bn_groups=self.bn_groups,
                                 bn_seq_groups=self.bn_seq_groups,
                                 name=f"net_{m}")
-            f = trunk(xf, train=train, features=True)  # (S*N, F_out, 1280)
+            f = trunk(xf, train=train, features=True)  # (N*S, F_out, 1280)
             feats.append(jnp.mean(f, axis=1))  # F_out == 1 in reference configs
         joint = jnp.concatenate(feats, axis=-1).astype(self.dtype)
         # 2-layer joint MLP (reference models/policy_net.py:228-231)
         joint = nn.relu(nn.Dense(JOINT_DIM, dtype=self.dtype, name="joint_fc1")(joint))
         joint = nn.relu(nn.Dense(JOINT_DIM, dtype=self.dtype, name="joint_fc2")(joint))
-        outs = joint.reshape(s, n, JOINT_DIM)
+        outs = joint.reshape(n, s, JOINT_DIM)
 
         tau = jnp.asarray(temperature, jnp.float32)
 
         if self.causality_modeling is None:
             # per-segment independent heads (reference policy_net.py:330-340)
-            flat = outs.reshape(s * n, JOINT_DIM)
+            flat = outs.reshape(n * s, JOINT_DIM)
             logits = jnp.stack(
                 [nn.Dense(2, dtype=self.dtype, name=f"fc_{m}")(flat)
-                 for m in range(num_modality)], axis=0)  # (M, S*N, 2)
+                 for m in range(num_modality)], axis=0)  # (M, N*S, 2)
             logits = logits.astype(jnp.float32)
             decisions = gumbel_decision(self.make_rng("gumbel"), logits, tau)
-            decisions = decisions.reshape(num_modality, s, n)
-            decisions = jnp.transpose(decisions, (1, 0, 2))       # (S, M, N)
-            logits = logits.reshape(num_modality, s, n, 2)
-            logits = jnp.transpose(logits, (1, 0, 2, 3))          # (S, M, N, 2)
+            decisions = decisions.reshape(num_modality, n, s)
+            decisions = jnp.transpose(decisions, (2, 0, 1))       # (S, M, N)
+            logits = logits.reshape(num_modality, n, s, 2)
+            logits = jnp.transpose(logits, (2, 0, 1, 3))          # (S, M, N, 2)
             return decisions, logits
 
         if self.causality_modeling != "lstm":
@@ -136,6 +138,6 @@ class PolicyNet(nn.Module):
             jnp.zeros((n, 2 * num_modality), jnp.float32),
             tau,
         )
-        seq = outs  # already (S, N, JOINT_DIM): segment-major fold
+        seq = jnp.transpose(outs, (1, 0, 2))  # (S, N, JOINT_DIM)
         _, (decisions, logits) = scan(carry0, seq)
         return decisions, logits  # (S, M, N), (S, M, N, 2)

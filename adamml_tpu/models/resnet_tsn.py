@@ -46,6 +46,7 @@ class _ConvBN(nn.Module):
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
     bn_seq_groups: int = 1
+    bn_seq_inner: int = 1
     # defer the BN affine: return (conv_out, a, b) with a/b per group so the
     # caller can fuse normalize+add+relu+pool into one Pallas kernel
     # (ops/pallas/tpool_fused.py). BN moments/stats update identically.
@@ -61,6 +62,7 @@ class _ConvBN(nn.Module):
                               axis_name=self.bn_axis_name,
                               groups=self.bn_groups,
                               seq_groups=self.bn_seq_groups,
+                              seq_inner=self.bn_seq_inner,
                               return_affine=self.defer_affine, name="bn")
         if self.defer_affine:
             a, b = bn(x)
@@ -77,6 +79,7 @@ class BasicBlock(nn.Module):
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
     bn_seq_groups: int = 1
+    bn_seq_inner: int = 1
     # defer the final bn-apply + residual-add + relu so a stage-boundary
     # caller can fuse them with the temporal pool; returns
     # (conv_out, identity, a, b). Parameter tree is unchanged.
@@ -86,15 +89,17 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool):
         identity = x
         out = _ConvBN(self.planes, (3, 3), self.strides, self.dtype,
-                      self.bn_axis_name, self.bn_groups, self.bn_seq_groups, name="cb1")(x, train)
+                      self.bn_axis_name, self.bn_groups, self.bn_seq_groups,
+                      self.bn_seq_inner, name="cb1")(x, train)
         out = nn.relu(out)
         cb2 = _ConvBN(self.planes, (3, 3), (1, 1), self.dtype,
                       self.bn_axis_name, self.bn_groups, self.bn_seq_groups,
+                      self.bn_seq_inner,
                       defer_affine=self.defer_epilogue, name="cb2")
         if self.downsample:
             identity = _ConvBN(self.planes, (1, 1), self.strides, self.dtype,
                                self.bn_axis_name, self.bn_groups, self.bn_seq_groups,
-                               name="downsample")(x, train)
+                               self.bn_seq_inner, name="downsample")(x, train)
         if self.defer_epilogue:
             out, a, b = cb2(out, train)
             return out, identity, a, b
@@ -110,6 +115,7 @@ class Bottleneck(nn.Module):
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
     bn_seq_groups: int = 1
+    bn_seq_inner: int = 1
     defer_epilogue: bool = False
 
     @nn.compact
@@ -117,17 +123,20 @@ class Bottleneck(nn.Module):
         identity = x
         out = nn.relu(_ConvBN(self.planes, (1, 1), (1, 1), self.dtype,
                               self.bn_axis_name, self.bn_groups,
-                              self.bn_seq_groups, name="cb1")(x, train))
+                              self.bn_seq_groups, self.bn_seq_inner,
+                              name="cb1")(x, train))
         out = nn.relu(_ConvBN(self.planes, (3, 3), self.strides, self.dtype,
                               self.bn_axis_name, self.bn_groups,
-                              self.bn_seq_groups, name="cb2")(out, train))
+                              self.bn_seq_groups, self.bn_seq_inner,
+                              name="cb2")(out, train))
         cb3 = _ConvBN(self.planes * 4, (1, 1), (1, 1), self.dtype,
                       self.bn_axis_name, self.bn_groups, self.bn_seq_groups,
+                      self.bn_seq_inner,
                       defer_affine=self.defer_epilogue, name="cb3")
         if self.downsample:
             identity = _ConvBN(self.planes * 4, (1, 1), self.strides,
                                self.dtype, self.bn_axis_name, self.bn_groups, self.bn_seq_groups,
-                               name="downsample")(x, train)
+                               self.bn_seq_inner, name="downsample")(x, train)
         if self.defer_epilogue:
             out, a, b = cb3(out, train)
             return out, identity, a, b
@@ -151,7 +160,9 @@ class ResNetTSN(nn.Module):
     bn_groups: int = 1
     # per-segment BN moment groups (reference runs the main net once per
     # segment, so its train-mode BN statistics are per segment; the AdaMML
-    # wrapper folds segments SEGMENT-MAJOR into the batch and sets this to S)
+    # wrapper folds segments into the batch clip-major and sets this to S --
+    # GroupedBatchNorm recovers the per-segment moments by a free
+    # (clips, segments, frames) reshape, no transposes)
     bn_seq_groups: int = 1
     # rematerialize block internals in the backward pass: trades recompute
     # (cheap on an underutilized MXU) for activation memory, unlocking
@@ -191,7 +202,8 @@ class ResNetTSN(nn.Module):
                              epsilon=1e-5, dtype=self.dtype,
                              axis_name=self.bn_axis_name,
                              groups=self.bn_groups,
-                             seq_groups=self.bn_seq_groups, name="bn1")(x)
+                             seq_groups=self.bn_seq_groups,
+                             seq_inner=f, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -220,7 +232,7 @@ class ResNetTSN(nn.Module):
                             (strides != (1, 1) or inplanes != planes * expansion))
                 blk = block(planes, strides if b == 0 else (1, 1), needs_ds,
                             self.dtype, self.bn_axis_name, self.bn_groups,
-                            self.bn_seq_groups,
+                            self.bn_seq_groups, cur_frames,
                             defer_epilogue=fuse_pool and b == blocks - 1,
                             name=f"layer{stage + 1}_{b}")
                 if fuse_pool and b == blocks - 1:

@@ -8,9 +8,15 @@ fusion bandwidth this device achieves, plus a relayout afterwards -- ~12.4
 ms/step at batch 8 for stage 1 alone (HLO: fusion.152 + reduce-window.3 +
 reshape.516). The same math in isolation runs at 582 GB/s. This kernel pins
 row-major operands, reads the conv output and the residual exactly once,
-applies the BN affine (per group: per-replica BN support, models/norm.py),
-adds, relus, max-pools over frames, and writes only the pooled tensor --
-eliminating both the intermediate materialization and the layout churn.
+applies the BN affine, adds, relus, max-pools over frames, and writes only
+the pooled tensor -- eliminating both the intermediate materialization and
+the layout churn.
+
+BN affine layout: (R, S, C) per (replica-group, segment) -- the
+GroupedBatchNorm (clips, segments, frames) interleaved factorization
+(models/norm.py). The leading axis of y is (clips, segments)-ordered
+(clip-major), so row r belongs to replica r // (N/R) and segment r % S.
+R = S = 1 is the plain global-BN case.
 
 Semantics: identical to
     relu(y * a + b + identity) -> temporal max-pool(k=3, s=2, pad=1)
@@ -41,12 +47,12 @@ def _out_frames(f: int, kernel: int = 3, stride: int = 2) -> int:
 
 def reference_impl(y: jax.Array, ident: jax.Array, a: jax.Array,
                    b: jax.Array) -> jax.Array:
-    """jnp twin (f32 throughout): y, ident (N, F, H, W, C); a, b (G, C)
-    grouped affine over the leading axis (G=1 == global BN)."""
-    g = a.shape[0]
+    """jnp twin (f32 throughout): y, ident (N, F, H, W, C) with the leading
+    axis (clips, segments)-ordered; a, b (R, S, C)."""
+    r, s, c = a.shape
     n = y.shape[0]
-    bshape = (g, 1, 1, 1, 1, a.shape[-1])
-    yf = y.astype(jnp.float32).reshape((g, n // g) + y.shape[1:])
+    bshape = (r, 1, s, 1, 1, 1, c)
+    yf = y.astype(jnp.float32).reshape((r, n // (r * s), s) + y.shape[1:])
     z = yf * a.reshape(bshape) + b.reshape(bshape)
     z = z.reshape(y.shape) + ident.astype(jnp.float32)
     z = jax.nn.relu(z)
@@ -78,16 +84,16 @@ def _pallas_fwd(y, ident, a, b):
     from jax.experimental import pallas as pl
 
     n, f, h, w, c = y.shape
-    g = a.shape[0]
+    r, s, _ = a.shape
     fo = _out_frames(f)
     hb = _block_h(f, h, w, c)
-    rows = n // g  # rows per BN group along the leading axis
+    rows_per_rep = n // r
     grid = (n, h // hb)
     blk = lambda i, j: (i, 0, j, 0, 0)
-    # (G, 1, C) so the affine block's trailing dims match the array exactly
-    # (TPU pallas requires trailing block dims divisible by (8, 128) or
-    # equal to the array's)
-    aff = lambda i, j: (i // rows, 0, 0)
+    # affine flattened to (R*S, 1, C) so the trailing block dims match the
+    # array exactly (TPU pallas: trailing block dims divisible by (8, 128)
+    # or equal to the array's). Row r -> group (r // rows_per_rep)*S + r % S.
+    aff = lambda i, j: ((i // rows_per_rep) * s + i % s, 0, 0)
     return pl.pallas_call(
         functools.partial(_kernel, f_in=f),
         grid=grid,
@@ -99,15 +105,15 @@ def _pallas_fwd(y, ident, a, b):
         ],
         out_specs=pl.BlockSpec((1, fo, hb, w, c), blk),
         out_shape=jax.ShapeDtypeStruct((n, fo, h, w, c), y.dtype),
-    )(y, ident, a.reshape(g, 1, c), b.reshape(g, 1, c))
+    )(y, ident, a.reshape(r * s, 1, c), b.reshape(r * s, 1, c))
 
 
 def _supported(y, a) -> bool:
     if jax.default_backend() != "tpu":
         return False
     n, f, h, w, c = y.shape
-    g = a.shape[0]
-    if g < 1 or n % g or (n // g) < 1:
+    r, s, _ = a.shape
+    if r < 1 or s < 1 or n % (r * s) or (n // r) % s:
         return False
     return f >= 2 and _block_h(f, h, w, c) >= 1 and c % 8 == 0
 
@@ -116,8 +122,9 @@ def _supported(y, a) -> bool:
 def fused_bn_add_relu_tpool(y, ident, a, b):
     """relu(y*a[g]+b[g] + ident) -> temporal max-pool, fused.
 
-    y, ident: (N, F, H, W, C); a, b: (G, C) with G dividing N (grouped BN
-    affine; G=1 is global). Returns (N, F_out, H, W, C) in y.dtype."""
+    y, ident: (N, F, H, W, C), leading axis (clips, segments)-ordered;
+    a, b: (R, S, C) grouped BN affine (R=S=1 is global). Returns
+    (N, F_out, H, W, C) in y.dtype."""
     if _supported(y, a):
         return _pallas_fwd(y, ident, a, b)
     return reference_impl(y, ident, a, b)

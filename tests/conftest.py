@@ -21,6 +21,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# XLA:CPU's default conv/matmul precision truncates f32 operands (bf16-like
+# passes, ~2.5e-3 relative error per conv -- measured against f64 ground
+# truth, round 3); torch computes true f32. Full precision is required for
+# the torch-parity suites to be meaningful.
+jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compile cache: XLA:CPU compiles dominate test time on 1-core CI
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -78,3 +78,98 @@ def test_defaults_identity_affine():
     want = _reference(x, w, jnp.ones((8,)), jnp.zeros((8,)), 1, False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+class TestFusedTPool:
+    """ops/pallas/tpool_fused: on CPU the op runs its jnp reference
+    composition; these tests pin the ALGEBRA (grouped affine mapping, pool
+    semantics, custom VJP) that the TPU kernel was verified bit-exact
+    against on hardware (BENCH.md round 3)."""
+
+    def _args(self, n=8, f=4, h=8, w=8, c=16, r=2, s=2):
+        import jax
+        import jax.numpy as jnp
+
+        k = jax.random.PRNGKey(0)
+        y = jax.random.normal(k, (n, f, h, w, c), jnp.float32)
+        ident = jax.random.normal(jax.random.fold_in(k, 1),
+                                  (n, f, h, w, c), jnp.float32)
+        a = jax.random.normal(jax.random.fold_in(k, 2), (r, s, c)) * 0.3 + 1.0
+        b = jax.random.normal(jax.random.fold_in(k, 3), (r, s, c)) * 0.1
+        return y, ident, a, b
+
+    def test_matches_unfused_grouped_composition(self):
+        """reference_impl == GroupedBatchNorm-style grouped affine + add +
+        relu + temporal_pool, with the interleaved (clips, segments) row
+        mapping."""
+        import numpy as np
+        import jax.numpy as jnp
+        from adamml_tpu.ops.pallas.tpool_fused import (
+            fused_bn_add_relu_tpool, reference_impl)
+        from adamml_tpu.ops.temporal import temporal_pool
+
+        y, ident, a, b = self._args()
+        n = y.shape[0]
+        r, s, c = a.shape
+        # manual: per-row affine via explicit row -> (replica, segment) map
+        z = np.asarray(y, np.float32).copy()
+        for row in range(n):
+            p, seg = row // (n // r), row % s
+            z[row] = z[row] * np.asarray(a)[p, seg] + np.asarray(b)[p, seg]
+        z = np.maximum(z + np.asarray(ident, np.float32), 0.0)
+        want = np.asarray(temporal_pool(jnp.asarray(z), 3, 2, "max"))
+        got = np.asarray(fused_bn_add_relu_tpool(y, ident, a, b))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(reference_impl(y, ident, a, b)),
+                                   want, atol=1e-6)
+
+    def test_custom_vjp_matches_composition_grads(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from adamml_tpu.ops.pallas.tpool_fused import (
+            fused_bn_add_relu_tpool, reference_impl)
+
+        y, ident, a, b = self._args(n=4, f=2, h=4, w=4, c=8, r=1, s=2)
+
+        def loss(fn):
+            return lambda *args: jnp.sum(fn(*args) ** 2)
+
+        gf = jax.grad(loss(fused_bn_add_relu_tpool), argnums=(0, 1, 2, 3))
+        gr = jax.grad(loss(reference_impl), argnums=(0, 1, 2, 3))
+        for x1, x2 in zip(gf(y, ident, a, b), gr(y, ident, a, b)):
+            np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                                       atol=1e-6)
+
+    def test_resnet_fused_matches_unfused(self):
+        """ResNetTSN with fused_tpool on/off: identical param tree and
+        matching outputs in train mode (CPU fallback path exercises the
+        exact grouping algebra the TPU kernel implements)."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from adamml_tpu.models.resnet_tsn import ResNetTSN
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 64, 64, 3))
+        rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+        m1 = ResNetTSN(depth=18, num_classes=5, fused_tpool=True,
+                       bn_seq_groups=2, dtype=jnp.float32, dropout=0.0)
+        m2 = ResNetTSN(depth=18, num_classes=5, fused_tpool=False,
+                       bn_seq_groups=2, dtype=jnp.float32, dropout=0.0)
+        v1 = m1.init(rngs, x, train=True)
+        v2 = m2.init(rngs, x, train=True)
+        t1 = jax.tree_util.tree_structure(v1)
+        t2 = jax.tree_util.tree_structure(v2)
+        assert t1 == t2, "fused_tpool must not change the param tree"
+        o1, mut1 = m1.apply(v1, x, train=True, mutable=["batch_stats"])
+        o2, mut2 = m2.apply(v1, x, train=True, mutable=["batch_stats"])
+        # BN renormalization amplifies the fused path's reassociated affine
+        # (a*x+b vs (x-mean)*rsqrt*scale+bias, ~1e-6/layer) through deep
+        # stacks on small test batches; the algebra itself is pinned exactly
+        # by the block-level tests above.
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-2, atol=2e-3)
+        jax.tree_util.tree_map(
+            lambda s1, s2: np.testing.assert_allclose(
+                np.asarray(s1), np.asarray(s2), rtol=1e-2, atol=2e-3),
+            mut1, mut2)

@@ -78,7 +78,11 @@ def _sub(sd, prefix):
 
 def _convert_full(ref):
     """Reference state_dict -> flax AdaMML {params, batch_stats}."""
-    sd = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+    # .copy(): torch .numpy() returns a VIEW of the tensor storage; without
+    # it, training the torch model in place would mutate the converted flax
+    # params too (burned the training-parity test in round 3)
+    sd = {k: v.detach().cpu().numpy().copy()
+          for k, v in ref.state_dict().items()}
     params = {"policy_net": {}, "main_net": {}}
     stats = {"policy_net": {}, "main_net": {}}
 

@@ -84,6 +84,10 @@ class ModelConfig:
     # rematerialize ResNet block internals in backward (memory for compute;
     # unlocks larger per-chip batches)
     remat_backbone: bool = False
+    # remat the POLICY trunks (default on): their backward saves otherwise
+    # sit on top of the main net's forward peak for the whole policy-phase
+    # step; the re-run trunk forward is cheap next to the main net
+    remat_policy: bool = True
     # TPU-specific knobs (no reference equivalent): compute precision.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
@@ -234,6 +238,9 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_pallas_dw", action="store_true")
     p.add_argument("--no_fused_tpool", action="store_true",
                    help="disable the fused Pallas temporal-pool kernel")
+    p.add_argument("--no_remat_policy", action="store_true",
+                   help="keep policy-trunk activations for backward instead "
+                        "of rematerializing them (more memory, no recompute)")
     p.add_argument("--remat_backbone", action="store_true")
 
     # training
@@ -352,6 +359,16 @@ def validate_args(parser: argparse.ArgumentParser,
             and len(args.pred_weights) != len(args.pred_files)):
         parser.error("--pred_weights must have one weight per --pred_files "
                      "entry")
+    if (args.num_segments > 1 and not args.dense_sampling
+            and not args.evaluate):
+        # the reference's uniform TRAIN sampler ignores num_clips and returns
+        # a single clip of `groups` frames (utils/video_dataset.py:154-168),
+        # so multi-segment AdaMML training without --dense_sampling crashes
+        # both frameworks at the first reshape; README's canonical commands
+        # always pass --dense_sampling
+        parser.error("--num_segments > 1 training requires --dense_sampling "
+                     "(uniform train sampling yields one clip, matching "
+                     "reference utils/video_dataset.py:154-168)")
     for flag, val in (("--gpu", args.gpu), ("--gpu_id", args.gpu_id),
                       ("--disable_cudnn_benchmark",
                        args.disable_cudnn_benchmark),
@@ -383,6 +400,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         use_pallas_dw=args.use_pallas_dw,
         fused_tpool=not args.no_fused_tpool,
         remat_backbone=args.remat_backbone,
+        remat_policy=not args.no_remat_policy,
         compute_dtype=args.compute_dtype,
     )
     optim = OptimConfig(

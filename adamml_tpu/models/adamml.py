@@ -63,6 +63,9 @@ class AdaMML(nn.Module):
     eval_capacity: Optional[float] = None  # real conditional compute at eval
     use_pallas_dw: bool = False
     remat: bool = False
+    # remat the policy trunks so their backward-pass saves don't sit on top
+    # of the main net's forward peak (see PolicyNet.remat_trunk)
+    remat_policy: bool = True
     fused_tpool: bool = True
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
@@ -103,6 +106,7 @@ class AdaMML(nn.Module):
             policy = PolicyNet(modality=p_mod,
                                causality_modeling=self.causality_modeling,
                                use_pallas_dw=self.use_pallas_dw,
+                               remat_trunk=self.remat_policy and train,
                                dtype=self.dtype,
                                bn_axis_name=self.bn_axis_name,
                                bn_groups=self.bn_groups,

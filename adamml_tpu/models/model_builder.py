@@ -58,7 +58,8 @@ def build_model(cfg: ExperimentConfig) -> Tuple[object, str]:
             rng_threshold=m.rng_threshold,
             policy_input_size=m.policy_input_size,
             eval_capacity=m.eval_capacity, use_pallas_dw=m.use_pallas_dw,
-            remat=m.remat_backbone, fused_tpool=m.fused_tpool,
+            remat=m.remat_backbone, remat_policy=m.remat_policy,
+            fused_tpool=m.fused_tpool,
             dtype=_dtype(cfg), bn_axis_name=_bn_axis(cfg),
             bn_groups=_bn_groups(cfg))
     elif m.backbone_net == "resnet":

@@ -72,6 +72,12 @@ class PolicyNet(nn.Module):
     modality: Tuple[str, ...]
     causality_modeling: Optional[str] = "lstm"
     use_pallas_dw: bool = False
+    # rematerialize the trunk conv stacks in the backward pass. The policy
+    # backward can only run AFTER the loss, i.e. after the (much larger)
+    # main-net forward -- without remat the trunk's saved activations sit on
+    # top of the main net's peak for the whole step. Remat re-runs the cheap
+    # trunk forward at backward time, when the main net's buffers are gone.
+    remat_trunk: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     bn_groups: int = 1
@@ -82,6 +88,10 @@ class PolicyNet(nn.Module):
         num_modality = len(self.modality)
         n, s = p_x[0].shape[0], p_x[0].shape[1]
 
+        trunk_cls = MobileNetV2
+        if self.remat_trunk:
+            # static_argnums: 0 is self; (x, train, features) -> 2, 3 static
+            trunk_cls = nn.remat(MobileNetV2, static_argnums=(2, 3))
         feats = []
         for m_i, m in enumerate(self.modality):
             x = p_x[m_i]
@@ -91,14 +101,14 @@ class PolicyNet(nn.Module):
             # moments are recovered by GroupedBatchNorm's interleaved
             # (clips, segments, frames) factorization (seq_groups)
             xf = x.reshape((n * s,) + x.shape[2:])
-            trunk = MobileNetV2(temporal_pooling=True,
-                                use_pallas_dw=self.use_pallas_dw,
-                                dtype=self.dtype,
-                                bn_axis_name=self.bn_axis_name,
-                                bn_groups=self.bn_groups,
-                                bn_seq_groups=self.bn_seq_groups,
-                                name=f"net_{m}")
-            f = trunk(xf, train=train, features=True)  # (N*S, F_out, 1280)
+            trunk = trunk_cls(temporal_pooling=True,
+                              use_pallas_dw=self.use_pallas_dw,
+                              dtype=self.dtype,
+                              bn_axis_name=self.bn_axis_name,
+                              bn_groups=self.bn_groups,
+                              bn_seq_groups=self.bn_seq_groups,
+                              name=f"net_{m}")
+            f = trunk(xf, train, True)  # (N*S, F_out, 1280)
             feats.append(jnp.mean(f, axis=1))  # F_out == 1 in reference configs
         joint = jnp.concatenate(feats, axis=-1).astype(self.dtype)
         # 2-layer joint MLP (reference models/policy_net.py:228-231)

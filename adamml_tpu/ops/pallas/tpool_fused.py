@@ -25,9 +25,15 @@ composition under --xla_allow_excess_precision, i.e. this device's actual
 numerics). Pooling matches reference TemporalPooling (reference
 models/common.py:4-33): out frames = floor((F + 2 - 3)/2) + 1.
 
-Backward: custom VJP recomputing through the reference jnp composition --
-the forward's speed does not change training gradients (tested bit-level
-against jax.vjp of the composition).
+Backward: a second Pallas kernel recomputing z = relu(y*a+b+ident) blockwise
+and routing each pooled cotangent to the FIRST max element in window order --
+exactly lax.reduce_window(max)'s VJP semantics (its select_and_gather pairing
+takes the earlier element on ties). The jnp-composition VJP it replaces
+materialized the full f32 pre-pool tensor plus select-and-scatter temporaries
+in the backward (~3 GB at the flagship batch for stage 1 alone), which is
+what capped the per-chip batch; the kernel's working set is one block.
+Gradients are tested against jax.vjp of the composition (interpret mode on
+CPU, bit-level on hardware).
 """
 
 from __future__ import annotations
@@ -78,6 +84,93 @@ def _block_h(f: int, h: int, w: int, c: int, budget_elems: int = 920_000
         if h % hb == 0 and f * hb * w * c <= budget_elems:
             best = hb
     return best
+
+
+def _bwd_kernel(y_ref, id_ref, a_ref, b_ref, ct_ref, dy_ref, did_ref,
+                dab_ref, *, f_in):
+    """One (row, h-block): recompute z, route ct to first-max per window
+    (reduce_window max VJP semantics), apply relu mask, emit dy/dident and
+    per-row (da, db) partials accumulated across h-blocks."""
+    import jax.experimental.pallas as pl
+
+    y = y_ref[...].astype(jnp.float32)            # (1, f, hb, w, c)
+    a = a_ref[...]                                # (1, 1, c) -> broadcasts
+    b = b_ref[...]
+    pre = y * a + b + id_ref[...].astype(jnp.float32)
+    z = jnp.maximum(pre, 0.0)
+    ct = ct_ref[...].astype(jnp.float32)          # (1, fo, hb, w, c)
+    dz_frames = [None] * f_in
+    for fo in range(_out_frames(f_in)):
+        lo, hi = max(0, 2 * fo - 1), min(f_in, 2 * fo + 2)
+        zw = [z[:, k:k + 1] for k in range(lo, hi)]
+        m = zw[0]
+        for t in zw[1:]:
+            m = jnp.maximum(m, t)
+        g = ct[:, fo:fo + 1]
+        not_taken = None
+        for idx, k in enumerate(range(lo, hi)):
+            sel = zw[idx] == m
+            if not_taken is not None:
+                sel = sel & not_taken
+            not_taken = (~sel if not_taken is None else not_taken & ~sel)
+            contrib = jnp.where(sel, g, 0.0)
+            dz_frames[k] = (contrib if dz_frames[k] is None
+                            else dz_frames[k] + contrib)
+    dz = jnp.concatenate(
+        [d if d is not None else jnp.zeros_like(z[:, :1])
+         for d in dz_frames], axis=1)
+    dpre = jnp.where(pre > 0.0, dz, 0.0)
+    dy_ref[...] = (dpre * a).astype(dy_ref.dtype)
+    did_ref[...] = dpre.astype(did_ref.dtype)
+    part = jnp.stack([jnp.sum(dpre * y, axis=(0, 1, 2, 3)),
+                      jnp.sum(dpre, axis=(0, 1, 2, 3))])[None]  # (1, 2, c)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dab_ref[...] = jnp.zeros_like(dab_ref)
+
+    dab_ref[...] += part
+
+
+def _pallas_bwd(y, ident, a, b, ct, *, interpret: bool = False):
+    """(dy, dident, da, db) via the fused backward kernel."""
+    from jax.experimental import pallas as pl
+
+    n, f, h, w, c = y.shape
+    r, s, _ = a.shape
+    fo = _out_frames(f)
+    # backward keeps ~5 f32 intermediates of the input block live; use a
+    # tighter block budget than the forward
+    hb = _block_h(f, h, w, c, budget_elems=230_000)
+    rows_per_rep = n // r
+    grid = (n, h // hb)
+    blk = lambda i, j: (i, 0, j, 0, 0)
+    aff = lambda i, j: ((i // rows_per_rep) * s + i % s, 0, 0)
+    dy, did, dab = pl.pallas_call(
+        functools.partial(_bwd_kernel, f_in=f),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, f, hb, w, c), blk),
+            pl.BlockSpec((1, f, hb, w, c), blk),
+            pl.BlockSpec((1, 1, c), aff),
+            pl.BlockSpec((1, 1, c), aff),
+            pl.BlockSpec((1, fo, hb, w, c), blk),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, f, hb, w, c), blk),
+            pl.BlockSpec((1, f, hb, w, c), blk),
+            pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, f, h, w, c), y.dtype),
+            jax.ShapeDtypeStruct((n, f, h, w, c), ident.dtype),
+            jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(y, ident, a.reshape(r * s, 1, c), b.reshape(r * s, 1, c), ct)
+    # rows are clip-major: row i -> (replica i // rows_per_rep, segment i % s)
+    part = dab.reshape(r, rows_per_rep // s, s, 2, c).sum(axis=1)  # (r,s,2,c)
+    return dy, did, part[:, :, 0], part[:, :, 1]
 
 
 def _pallas_fwd(y, ident, a, b):
@@ -135,7 +228,11 @@ def _fwd(y, ident, a, b):
 
 
 def _bwd(res, ct):
+    import os
+
     y, ident, a, b = res
+    if _supported(y, a) and os.environ.get("ADAMML_TPOOL_BWD") != "jnp":
+        return _pallas_bwd(y, ident, a, b, ct)
     _, vjp = jax.vjp(reference_impl, y, ident, a, b)
     return vjp(ct)
 

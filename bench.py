@@ -19,11 +19,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compilation cache: flagship-step compiles take minutes on the
+# relay; cache hits make re-benches (and sweep re-runs) near-instant
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/adamml_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 # reference cost model: GFLOPs/video fwd at full selection (BASELINE.md)
 REF_FWD_GFLOPS = 76.39
@@ -129,6 +137,24 @@ def measure(batch: int, steps: int) -> dict:
     return result
 
 
+def _measure_robust(batches, steps: int) -> dict:
+    """Measure the first batch size that fits. The relay exposes a
+    memory-limited slice and the flagship step at the largest batch runs at
+    the edge of it -- a RESOURCE_EXHAUSTED must degrade to the next batch
+    size, never lose the record."""
+    last_err = None
+    for batch in batches:
+        try:
+            return measure(batch, steps)
+        except Exception as e:  # jax.errors.JaxRuntimeError etc.
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            print(f"# batch={batch} RESOURCE_EXHAUSTED; degrading",
+                  file=sys.stderr)
+            last_err = e
+    raise last_err
+
+
 def main() -> int:
     # Default: the best honest config from the measured batch sweep
     # (BENCH.md: 8 -> 115.1, 16 -> 122.2, 24 -> 127.8 clips/s; 32 OOMs the
@@ -138,7 +164,13 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--sweep":
         best = None
         for batch in (8, 16, 24):
-            r = measure(batch, 20)
+            try:
+                r = measure(batch, 20)
+            except Exception as e:
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                print(f"# batch={batch} RESOURCE_EXHAUSTED", file=sys.stderr)
+                continue
             if best is None or r["value"] > best["value"]:
                 best = r
         print(json.dumps(best))
@@ -148,7 +180,7 @@ def main() -> int:
         steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
         print(json.dumps(measure(batch, steps)))
         return 0
-    print(json.dumps(measure(24, 20)))
+    print(json.dumps(_measure_robust((24, 16, 8), 20)))
     return 0
 
 

@@ -141,6 +141,58 @@ class TestFusedTPool:
             np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
                                        atol=1e-6)
 
+    @pytest.mark.parametrize("shape", [
+        dict(n=8, f=4, h=8, w=8, c=16, r=2, s=2),
+        dict(n=6, f=8, h=8, w=8, c=16, r=1, s=3),
+        dict(n=4, f=2, h=8, w=8, c=8, r=1, s=1),
+    ])
+    def test_pallas_bwd_kernel_matches_vjp(self, shape):
+        """The Pallas backward kernel (interpret mode on CPU) == jax.vjp of
+        the f32 composition: dy/dident/da/db, incl. grouped affines and the
+        first-max tie routing of reduce_window's VJP."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from adamml_tpu.ops.pallas.tpool_fused import (_out_frames,
+                                                       _pallas_bwd,
+                                                       reference_impl)
+
+        y, ident, a, b = self._args(**shape)
+        n, f, h, w, c = y.shape
+        ct = jax.random.normal(jax.random.PRNGKey(9),
+                               (n, _out_frames(f), h, w, c), jnp.float32)
+        out, vjp = jax.vjp(reference_impl, y, ident, a, b)
+        want = vjp(ct)
+        got = _pallas_bwd(y, ident, a, b, ct, interpret=True)
+        for g1, g2, name in zip(got, want, ("dy", "dident", "da", "db")):
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                       rtol=1e-5, atol=1e-5, err_msg=name)
+
+    def test_pallas_bwd_kernel_tie_routing(self):
+        """Engineered positive ties across frames: the kernel must send the
+        cotangent to the FIRST max in window order, like reduce_window max."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from adamml_tpu.ops.pallas.tpool_fused import (_out_frames,
+                                                       _pallas_bwd,
+                                                       reference_impl)
+
+        n, f, h, w, c = 2, 4, 8, 8, 8
+        frame = jax.random.normal(jax.random.PRNGKey(0), (n, 1, h, w, c))
+        y = jnp.tile(jnp.abs(frame) + 0.5, (1, f, 1, 1, 1))  # all frames tie
+        ident = jnp.zeros_like(y)
+        a = jnp.ones((1, 1, c))
+        b = jnp.zeros((1, 1, c))
+        ct = jax.random.normal(jax.random.PRNGKey(1),
+                               (n, _out_frames(f), h, w, c), jnp.float32)
+        _, vjp = jax.vjp(reference_impl, y, ident, a, b)
+        want = vjp(ct)
+        got = _pallas_bwd(y, ident, a, b, ct, interpret=True)
+        for g1, g2, name in zip(got, want, ("dy", "dident", "da", "db")):
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                       rtol=1e-5, atol=1e-5, err_msg=name)
+
     def test_resnet_fused_matches_unfused(self):
         """ResNetTSN with fused_tpool on/off: identical param tree and
         matching outputs in train mode (CPU fallback path exercises the

@@ -150,11 +150,12 @@ class TestTrainingCurveParity:
 
         ref_traj = _run_reference(ref, ref_in, target_np)
 
-        class MP:
-            def setattr(self, obj, name, val):
-                setattr(obj, name, val)
-
-        ours_traj = _run_ours(params, stats, ours_in, target_np, MP())
+        # class-scoped fixture can't take the function-scoped monkeypatch
+        # fixture; use an explicit context so the module-global
+        # gumbel_decision patch is UNDONE for later tests (it once leaked and
+        # broke the eval-rng regression test)
+        with pytest.MonkeyPatch.context() as mp:
+            ours_traj = _run_ours(params, stats, ours_in, target_np, mp)
         return ref_traj, ours_traj
 
     def test_loss_trajectories_track(self, trajectories):

@@ -96,9 +96,45 @@ def main():
                   f"({n_params(subtree) / 1e6:.1f}M params, "
                   f"{tensors} tensors)", flush=True)
 
+    # pure single-vector updates (no ravel/unravel, no tree): isolates the
+    # achievable streaming cost from the tree<->vector conversion overhead
+    # that the Fused* paths pay every step
+    for name, n in (("sgd", n_params(params["main_net"])),
+                    ("adam", n_params(params["policy_net"]))):
+        vec = jnp.zeros((n,), jnp.float32)
+        gvec = jnp.full((n,), 1e-3, jnp.float32)
+        if name == "sgd":
+            st0 = {"p": vec, "s": {"trace": vec}}
+
+            @jax.jit
+            def fn(st, g, scale):
+                g = g * scale + 1e-4 * st["p"]
+                v = 0.9 * st["s"]["trace"] + g
+                return {"p": st["p"] - 0.01 * v, "s": {"trace": v}}
+        else:
+            st0 = {"p": vec, "s": {"mu": vec, "nu": vec,
+                                   "count": jnp.zeros((), jnp.int32)}}
+
+            @jax.jit
+            def fn(st, g, scale):
+                g = g * scale + 1e-4 * st["p"]
+                count = st["s"]["count"] + 1
+                mu = 0.9 * st["s"]["mu"] + 0.1 * g
+                nu = 0.999 * st["s"]["nu"] + 0.001 * jnp.square(g)
+                t = count.astype(jnp.float32)
+                upd = (mu / (1.0 - 0.9 ** t)) / (
+                    jnp.sqrt(nu / (1.0 - 0.999 ** t)) + 1e-8)
+                return {"p": st["p"] - 0.01 * upd,
+                        "s": {"mu": mu, "nu": nu, "count": count}}
+        dt = time_fn(fn, st0, gvec)
+        results[f"{name}/vector"] = dt
+        print(f"{name}/vector: {dt * 1000:.2f} ms  ({n / 1e6:.1f}M params, "
+              f"pure vector, no ravel)", flush=True)
+
     for opt in ("sgd", "adam"):
         a, b = results[f"{opt}/optax"], results[f"{opt}/fused"]
-        print(f"{opt}: fused is {a / max(b, 1e-9):.2f}x vs per-tensor")
+        print(f"{opt}: fused is {a / max(b, 1e-9):.2f}x vs per-tensor; "
+              f"pure vector {a / max(results[f'{opt}/vector'], 1e-9):.2f}x")
 
 
 if __name__ == "__main__":

@@ -86,11 +86,14 @@ def _block_h(f: int, h: int, w: int, c: int, budget_elems: int = 920_000
     return best
 
 
-def _bwd_kernel(y_ref, id_ref, a_ref, b_ref, ct_ref, dy_ref, did_ref,
+def _bwd_kernel(y_ref, id_ref, a_ref, b_ref, ct_ref, dpre_ref,
                 dab_ref, *, f_in):
     """One (row, h-block): recompute z, route ct to first-max per window
-    (reduce_window max VJP semantics), apply relu mask, emit dy/dident and
-    per-row (da, db) partials accumulated across h-blocks."""
+    (reduce_window max VJP semantics), apply relu mask, emit dpre (= dident;
+    dy is dpre*a, applied OUTSIDE the kernel so only one full-size tensor is
+    written -- halves the kernel's output footprint, which sets the step's
+    peak memory at stage 1) and per-row (da, db) partials accumulated across
+    h-blocks."""
     import jax.experimental.pallas as pl
 
     y = y_ref[...].astype(jnp.float32)            # (1, f, hb, w, c)
@@ -120,8 +123,7 @@ def _bwd_kernel(y_ref, id_ref, a_ref, b_ref, ct_ref, dy_ref, did_ref,
         [d if d is not None else jnp.zeros_like(z[:, :1])
          for d in dz_frames], axis=1)
     dpre = jnp.where(pre > 0.0, dz, 0.0)
-    dy_ref[...] = (dpre * a).astype(dy_ref.dtype)
-    did_ref[...] = dpre.astype(did_ref.dtype)
+    dpre_ref[...] = dpre.astype(dpre_ref.dtype)
     part = jnp.stack([jnp.sum(dpre * y, axis=(0, 1, 2, 3)),
                       jnp.sum(dpre, axis=(0, 1, 2, 3))])[None]  # (1, 2, c)
 
@@ -146,7 +148,7 @@ def _pallas_bwd(y, ident, a, b, ct, *, interpret: bool = False):
     grid = (n, h // hb)
     blk = lambda i, j: (i, 0, j, 0, 0)
     aff = lambda i, j: ((i // rows_per_rep) * s + i % s, 0, 0)
-    dy, did, dab = pl.pallas_call(
+    dpre, dab = pl.pallas_call(
         functools.partial(_bwd_kernel, f_in=f),
         grid=grid,
         in_specs=[
@@ -158,19 +160,23 @@ def _pallas_bwd(y, ident, a, b, ct, *, interpret: bool = False):
         ],
         out_specs=[
             pl.BlockSpec((1, f, hb, w, c), blk),
-            pl.BlockSpec((1, f, hb, w, c), blk),
             pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, f, h, w, c), y.dtype),
             jax.ShapeDtypeStruct((n, f, h, w, c), ident.dtype),
             jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
         ],
         interpret=interpret,
     )(y, ident, a.reshape(r * s, 1, c), b.reshape(r * s, 1, c), ct)
+    # dy = dpre * a, applied as a lazily-fused broadcast multiply (rows are
+    # clip-major: factor (R, clips, S)); XLA folds it into dy's consumer, so
+    # the kernel writes ONE full-size tensor instead of two
+    bshape = (r, 1, s) + (1,) * (y.ndim - 2) + (c,)
+    dy = (dpre.astype(jnp.float32).reshape((r, n // (r * s), s) + y.shape[1:])
+          * a.reshape(bshape)).reshape(y.shape).astype(y.dtype)
     # rows are clip-major: row i -> (replica i // rows_per_rep, segment i % s)
     part = dab.reshape(r, rows_per_rep // s, s, 2, c).sum(axis=1)  # (r,s,2,c)
-    return dy, did, part[:, :, 0], part[:, :, 1]
+    return dy, dpre, part[:, :, 0], part[:, :, 1]
 
 
 def _pallas_fwd(y, ident, a, b):

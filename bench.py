@@ -62,6 +62,10 @@ def measure(batch: int, steps: int) -> dict:
         cfg.optim.fused_update = False
     if os.environ.get("ADAMML_REMAT") == "1":
         cfg.model.remat_backbone = True
+    if os.environ.get("ADAMML_NO_REMAT_POLICY") == "1":
+        cfg.model.remat_policy = False
+    if os.environ.get("ADAMML_NO_FUSED_TPOOL") == "1":
+        cfg.model.fused_tpool = False
     spd = int(os.environ.get("ADAMML_SPD", "1"))
     model, _ = build_model(cfg)
     rng = jax.random.PRNGKey(0)

@@ -14,12 +14,20 @@ Env: ADAMML_TPOOL_BWD=jnp forces the jnp-composition VJP for the fused pool
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
+
+# share bench.py's persistent compile cache so an AOT analysis seeds the
+# bench's (identical) step program and vice versa
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/adamml_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 
 def main() -> int:

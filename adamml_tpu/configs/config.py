@@ -84,6 +84,11 @@ class ModelConfig:
     # rematerialize ResNet block internals in backward (memory for compute;
     # unlocks larger per-chip batches)
     remat_backbone: bool = False
+    # stage-selective remat: 1-based ResNet stages whose blocks remat even
+    # with remat_backbone off. Stage 1 holds the largest activations (full
+    # frame count, 56x56x256) at the smallest recompute share -- remat
+    # there buys most of the memory headroom at a fraction of the cost
+    remat_stages: tuple = ()
     # remat the POLICY trunks (default on): their backward saves otherwise
     # sit on top of the main net's forward peak for the whole policy-phase
     # step; the re-run trunk forward is cheap next to the main net
@@ -242,6 +247,10 @@ def arg_parser() -> argparse.ArgumentParser:
                    help="keep policy-trunk activations for backward instead "
                         "of rematerializing them (more memory, no recompute)")
     p.add_argument("--remat_backbone", action="store_true")
+    p.add_argument("--remat_stages", nargs="+", type=int, default=[],
+                   choices=(1, 2, 3, 4), metavar="STAGE",
+                   help="rematerialize only these ResNet stages (1-based); "
+                        "cheaper than --remat_backbone for memory headroom")
 
     # training
     p.add_argument("-b", "--batch-size", dest="batch_size", default=72, type=int)
@@ -400,6 +409,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         use_pallas_dw=args.use_pallas_dw,
         fused_tpool=not args.no_fused_tpool,
         remat_backbone=args.remat_backbone,
+        remat_stages=tuple(args.remat_stages),
         remat_policy=not args.no_remat_policy,
         compute_dtype=args.compute_dtype,
     )

@@ -63,6 +63,7 @@ class AdaMML(nn.Module):
     eval_capacity: Optional[float] = None  # real conditional compute at eval
     use_pallas_dw: bool = False
     remat: bool = False
+    remat_stages: Tuple[int, ...] = ()
     # remat the policy trunks so their backward-pass saves don't sit on top
     # of the main net's forward peak (see PolicyNet.remat_trunk)
     remat_policy: bool = True
@@ -135,6 +136,7 @@ class AdaMML(nn.Module):
                             eval_capacity=self.eval_capacity,
                             use_pallas_dw=self.use_pallas_dw,
                             remat=self.remat,
+                            remat_stages=self.remat_stages,
                             fused_tpool=self.fused_tpool,
                             dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                             bn_groups=self.bn_groups,

@@ -47,6 +47,7 @@ class JointMainNet(nn.Module):
     eval_capacity: Optional[float] = None
     use_pallas_dw: bool = False
     remat: bool = False
+    remat_stages: Tuple[int, ...] = ()
     fused_tpool: bool = True
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
@@ -63,6 +64,7 @@ class JointMainNet(nn.Module):
                              bn_groups=self.bn_groups,
                              bn_seq_groups=self.bn_seq_groups,
                              remat=self.remat,
+                             remat_stages=self.remat_stages,
                              fused_tpool=self.fused_tpool,
                              name=f"net_{m}")
         return MobileNetV2(num_classes=self.num_classes, dropout=self.dropout,

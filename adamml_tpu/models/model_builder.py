@@ -58,7 +58,8 @@ def build_model(cfg: ExperimentConfig) -> Tuple[object, str]:
             rng_threshold=m.rng_threshold,
             policy_input_size=m.policy_input_size,
             eval_capacity=m.eval_capacity, use_pallas_dw=m.use_pallas_dw,
-            remat=m.remat_backbone, remat_policy=m.remat_policy,
+            remat=m.remat_backbone, remat_stages=tuple(m.remat_stages),
+            remat_policy=m.remat_policy,
             fused_tpool=m.fused_tpool,
             dtype=_dtype(cfg), bn_axis_name=_bn_axis(cfg),
             bn_groups=_bn_groups(cfg))
@@ -68,7 +69,8 @@ def build_model(cfg: ExperimentConfig) -> Tuple[object, str]:
             without_t_stride=m.without_t_stride,
             pooling_method=m.pooling_method, dtype=_dtype(cfg),
             bn_axis_name=_bn_axis(cfg), bn_groups=_bn_groups(cfg),
-            remat=m.remat_backbone, fused_tpool=m.fused_tpool)
+            remat=m.remat_backbone, remat_stages=tuple(m.remat_stages),
+            fused_tpool=m.fused_tpool)
     elif m.backbone_net == "sound_mobilenet_v2":
         model = MobileNetV2(
             num_classes=m.num_classes, dropout=m.dropout,

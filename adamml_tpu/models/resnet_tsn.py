@@ -168,6 +168,14 @@ class ResNetTSN(nn.Module):
     # (cheap on an underutilized MXU) for activation memory, unlocking
     # larger per-chip batches
     remat: bool = False
+    # stage-selective remat: 1-based stage numbers whose blocks remat even
+    # when `remat` is False. Stage 1 runs at the largest spatial extent and
+    # full frame count, so its block-internal saves dominate the activation
+    # footprint while its recompute is a small slice of total FLOPs --
+    # remat there buys most of the memory at a fraction of full-backbone
+    # remat's recompute (VERDICT r2: whole-backbone remat alone could not
+    # fit batch 32)
+    remat_stages: Tuple[int, ...] = ()
     # fuse stage-boundary bn-apply+add+relu+temporal-pool into one Pallas
     # kernel (ops/pallas/tpool_fused.py); default ON -- measured faster on
     # the flagship step, bit-identical gradients, same param tree
@@ -180,9 +188,8 @@ class ResNetTSN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, features: bool = False):
         kind, layers = RESNET_LAYERS[self.depth]
-        block = BasicBlock if kind == "basic" else Bottleneck
-        if self.remat:
-            block = nn.remat(block, static_argnums=(2,))
+        plain_block = BasicBlock if kind == "basic" else Bottleneck
+        remat_block = nn.remat(plain_block, static_argnums=(2,))
         expansion = 1 if kind == "basic" else 4
 
         n, f, h, w, c = x.shape
@@ -210,6 +217,9 @@ class ResNetTSN(nn.Module):
         cur_frames = f
         inplanes = 64
         for stage, blocks in enumerate(layers):
+            block = (remat_block
+                     if self.remat or (stage + 1) in self.remat_stages
+                     else plain_block)
             planes = 64 * (2 ** stage)
             strides = (1, 1) if stage == 0 else (2, 2)
             pool_here = (stage < 3 and not self.without_t_stride

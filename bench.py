@@ -62,6 +62,9 @@ def measure(batch: int, steps: int) -> dict:
         cfg.optim.fused_update = False
     if os.environ.get("ADAMML_REMAT") == "1":
         cfg.model.remat_backbone = True
+    if os.environ.get("ADAMML_REMAT_STAGES"):
+        cfg.model.remat_stages = tuple(
+            int(s) for s in os.environ["ADAMML_REMAT_STAGES"].split(","))
     if os.environ.get("ADAMML_NO_REMAT_POLICY") == "1":
         cfg.model.remat_policy = False
     if os.environ.get("ADAMML_NO_FUSED_TPOOL") == "1":

@@ -59,6 +59,32 @@ class TestResNetTSN:
         feat = model.apply(v, x, train=False, features=True)
         assert feat.shape[1] == 4
 
+    def test_remat_stages_identical_tree_and_grads(self):
+        """Stage-selective remat (--remat_stages) is a pure memory/compute
+        trade: same param tree, bit-identical gradients."""
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, 4, 32, 32, 3), jnp.float32)
+        m0 = ResNetTSN(depth=18, num_classes=5)
+        m1 = ResNetTSN(depth=18, num_classes=5, remat_stages=(1, 2))
+        v0 = m0.init(init_rngs(), x, train=True)
+        v1 = m1.init(init_rngs(), x, train=True)
+        assert (jax.tree_util.tree_structure(v0)
+                == jax.tree_util.tree_structure(v1))
+
+        def loss(m, v):
+            def f(p):
+                out, _ = m.apply(
+                    {"params": p, "batch_stats": v["batch_stats"]}, x,
+                    train=True, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+                return jnp.sum(out ** 2)
+            return jax.grad(f)(v["params"])
+
+        g0 = jax.tree_util.tree_leaves(loss(m0, v0))
+        g1 = jax.tree_util.tree_leaves(loss(m1, v1))
+        for a, b in zip(g0, g1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_train_updates_batch_stats(self):
         model = ResNetTSN(depth=18, num_classes=7)
         x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 32, 32, 3))

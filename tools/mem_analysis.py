@@ -45,6 +45,9 @@ def main() -> int:
     cfg = _flagship_cfg()
     cfg.model.fused_tpool = fused_tpool
     cfg.model.remat_policy = remat_policy
+    if os.environ.get("ADAMML_REMAT_STAGES"):
+        cfg.model.remat_stages = tuple(
+            int(s) for s in os.environ["ADAMML_REMAT_STAGES"].split(","))
     model, _ = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     inputs = example_inputs(cfg, batch=batch, num_segments=5, rng=rng)

@@ -378,6 +378,14 @@ def validate_args(parser: argparse.ArgumentParser,
         parser.error("--num_segments > 1 training requires --dense_sampling "
                      "(uniform train sampling yields one clip, matching "
                      "reference utils/video_dataset.py:154-168)")
+    if args.num_crops > 1 and all(m == "sound" for m in args.modality):
+        # sound has no spatial crops (reference get_augmentor,
+        # utils/utils.py:119-123): rows are replicated so the eval-step
+        # crop fold stays aligned, but the metrics equal --num_crops 1
+        print("WARNING: --num_crops > 1 with a sound-only modality set "
+              "replicates spectrogram rows (sound has no spatial crops); "
+              "results are identical to --num_crops 1 at num_crops x the "
+              "eval compute", flush=True)
     for flag, val in (("--gpu", args.gpu), ("--gpu_id", args.gpu_id),
                       ("--disable_cudnn_benchmark",
                        args.disable_cudnn_benchmark),

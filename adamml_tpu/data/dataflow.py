@@ -114,6 +114,22 @@ class HostDataLoader:
         return [np.concatenate([v[bi * bs:(bi + 1) * bs]
                                 for v in shard_valid]) for bi in range(nb)]
 
+    def global_row_indices(self) -> Optional[list]:
+        """Per-batch dataset indices of the GLOBAL batch rows, in the same
+        [shard0 rows, shard1 rows, ...] layout as global_valid_masks.
+
+        With num_shards > 1 the gathered eval matrices are shard-interleaved
+        (row (batch b, shard p, slot k) holds dataset index (b*bs+k)*P + p),
+        NOT val-list order; consumers (validate()) use these indices to
+        restore dataset order so saved val_*.npy artifacts line up with the
+        val list (and with --pred_files scoring). Pure function of (dataset
+        size, shards, batch size): every process computes the same answer."""
+        shard_idx = [self._shard(p)[0] for p in range(self.num_shards)]
+        nb = len(self)
+        bs = self.batch_size
+        return [np.concatenate([ix[bi * bs:(bi + 1) * bs]
+                                for ix in shard_idx]) for bi in range(nb)]
+
     def __len__(self) -> int:
         n = len(self._indices())
         if self.drop_last:

@@ -49,15 +49,16 @@ def make_batch_preprocessor(cfg, *, train: bool,
         resampling_rate=int(dcfg.resampling_rate),
         audio_length=dcfg.audio_length)
 
+    # Multi-crop oversample eval: (N, C, 4) crop rectangles fold into
+    # the batch axis -> every modality contributes (N*C, ...) rows and
+    # the eval step averages logits over the C crops (reference
+    # GroupOverSample, utils/video_transforms.py:121-178). The crop count
+    # comes from the CONFIG (the eval step reshapes by it), not from batch
+    # introspection -- a sound-only model has no crop rectangles to inspect
+    # but its rows must still fold so the step's reshape stays aligned.
+    ncrops = 1 if train else max(1, int(cfg.data.num_crops))
+
     def preprocess(batch: Dict) -> Tuple[List[jax.Array], jax.Array]:
-        # Multi-crop oversample eval: (N, C, 4) crop rectangles fold into
-        # the batch axis -> every modality contributes (N*C, ...) rows and
-        # the eval step averages logits over the C crops (reference
-        # GroupOverSample, utils/video_transforms.py:121-178).
-        ncrops = 1
-        for m in modality:
-            if m != "sound" and batch[f"{m}_crop"].ndim == 3:
-                ncrops = batch[f"{m}_crop"].shape[1]
         inputs: List[jax.Array] = []
         for m in modality:
             if m == "sound":
@@ -75,8 +76,9 @@ def make_batch_preprocessor(cfg, *, train: bool,
             crop = jnp.asarray(batch[f"{m}_crop"])
             flip = jnp.asarray(batch[f"{m}_flip"])
             if crop.ndim == 3:  # oversample: fold crops into batch
-                c_ = crop.shape[1]
-                frames = jnp.repeat(frames, c_, axis=0)
+                assert crop.shape[1] == ncrops, (
+                    f"{m}: {crop.shape[1]} crop rects vs num_crops={ncrops}")
+                frames = jnp.repeat(frames, ncrops, axis=0)
                 crop = crop.reshape((-1, 4))
                 flip = flip.reshape((-1,))
             n = frames.shape[0]

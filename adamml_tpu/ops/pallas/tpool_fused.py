@@ -210,11 +210,24 @@ def _pallas_fwd(y, ident, a, b):
 def _supported(y, a) -> bool:
     if jax.default_backend() != "tpu":
         return False
+    # Under multi-device GSPMD jit the Mosaic custom call has no SPMD
+    # partitioning rule: the partitioner would reject it or replicate the
+    # full global stage-boundary tensor onto every chip -- the opposite of
+    # this kernel's purpose. Fall back to the jnp composition (which XLA
+    # partitions fine) until the op carries a custom_partitioning rule.
+    if jax.device_count() > 1:
+        return False
     n, f, h, w, c = y.shape
     r, s, _ = a.shape
     if r < 1 or s < 1 or n % (r * s) or (n // r) % s:
         return False
-    return f >= 2 and _block_h(f, h, w, c) >= 1 and c % 8 == 0
+    # the minimal hb=1 block must fit the BACKWARD budget (the tighter of
+    # the two: ~5 f32 intermediates live per block) or the kernel would
+    # fail Mosaic's scoped-VMEM check instead of falling back; _block_h's
+    # return value alone can't express "doesn't fit" (it bottoms out at 1)
+    if f * 1 * w * c > 230_000:
+        return False
+    return f >= 2 and c % 8 == 0
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())

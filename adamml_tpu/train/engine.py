@@ -261,6 +261,15 @@ def validate(loader, preprocess: Callable, eval_step: Callable, state,
     # eval shape is static; those rows must not count. Every process
     # computes the identical masks host-side (dataflow.global_valid_masks).
     masks = getattr(loader, "global_valid_masks", lambda: None)()
+    # dataset index of every global batch row (same [shard0, shard1, ...]
+    # layout as the gathered matrices): used below to restore VAL-LIST row
+    # order -- with num_shards > 1 the gathered rows are shard-interleaved,
+    # and saved val_*.npy artifacts must line up with the val list (the
+    # order val_labels()/--pred_files scoring assume)
+    row_idx = getattr(loader, "global_row_indices", lambda: None)()
+    if row_idx is not None:
+        row_idx = [np.asarray(ix)[: lg.shape[0]]
+                   for ix, lg in zip(row_idx, all_logits)]
     if masks is not None:
         masks = [np.asarray(mk)[: lg.shape[0]]
                  for mk, lg in zip(masks, all_logits)]
@@ -274,6 +283,8 @@ def validate(loader, preprocess: Callable, eval_step: Callable, state,
         all_logits = [lg[mk] for lg, mk in zip(all_logits, masks)]
         all_targets = [tg[mk] for tg, mk in zip(all_targets, masks)]
         all_selections = [sl[mk] for sl, mk in zip(all_selections, masks)]
+        if row_idx is not None:
+            row_idx = [ix[mk] for ix, mk in zip(row_idx, masks)]
         batch_sizes = [int(mk.sum()) for mk in masks]
     else:
         for n, loss in zip(batch_sizes, jax.device_get(all_losses)):
@@ -308,6 +319,17 @@ def validate(loader, preprocess: Callable, eval_step: Callable, state,
             picked = dec.reshape(rows, -1).sum(axis=0)
             dropped += np.maximum(0, picked - cap).astype(np.int64)
             off += n
+
+    # restore VAL-LIST row order (shard-interleaved under num_shards > 1);
+    # metrics are order-invariant but the returned/saved matrices are not
+    if row_idx is not None and logits.shape[0]:
+        idx_all = np.concatenate(row_idx, axis=0)
+        if idx_all.shape[0] == logits.shape[0] and np.any(np.diff(idx_all) < 0):
+            perm = np.argsort(idx_all, kind="stable")
+            logits = logits[perm]
+            targets = targets[perm]
+            if selections is not None:
+                selections = selections[perm]
     (t1, t5), mAP = actnet_acc(logits, targets)
 
     out = {"top1": t1, "top5": t5, "mAP": mAP, "loss": losses.avg,

@@ -14,12 +14,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from .metrics import actnet_acc
-
-
-def _softmax(x: np.ndarray) -> np.ndarray:
-    e = np.exp(x - x.max(axis=-1, keepdims=True))
-    return e / e.sum(axis=-1, keepdims=True)
+from .metrics import _softmax, actnet_acc
 
 
 def ensemble_score(pred_files: Sequence[str],
@@ -53,5 +48,9 @@ def ensemble_score(pred_files: Sequence[str],
             scores = _softmax(scores.astype(np.float64))
         contrib = w * scores
         total = contrib if total is None else total + contrib
-    (top1, top5), mAP = actnet_acc(total, labels)
+    # with after_softmax the ensemble is already a probability matrix --
+    # actnet_acc must not softmax it a second time (row-wise re-softmax
+    # would silently reshuffle per-class score columns and distort mAP)
+    (top1, top5), mAP = actnet_acc(total, labels,
+                                   have_softmaxed=after_softmax)
     return {"top1": top1, "top5": top5, "mAP": mAP, "scores": total}

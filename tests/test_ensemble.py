@@ -50,6 +50,21 @@ class TestEnsembleScore:
         assert soft["scores"].max() <= 2.0
         assert not np.allclose(raw["scores"], soft["scores"])
 
+    def test_after_softmax_is_not_double_softmaxed(self, tmp_path):
+        """With after_softmax the ensemble is already probabilities;
+        actnet_acc must score them as-is (regression: a second row-wise
+        softmax silently distorted mAP)."""
+        rng = np.random.default_rng(3)
+        logits = rng.normal(size=(30, 5)).astype(np.float64) * 3.0
+        labels = rng.integers(0, 5, size=(30,))
+        out = ensemble_score([_save(tmp_path, "a.npy", logits)], labels,
+                             after_softmax=True)
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        probs = e / e.sum(axis=1, keepdims=True)
+        (t1, t5), mAP = actnet_acc(probs, labels, have_softmaxed=True)
+        assert out["mAP"] == pytest.approx(mAP)
+        assert out["top1"] == pytest.approx(t1)
+
     def test_mismatched_weights_and_rows_are_loud(self, tmp_path):
         a = np.zeros((4, 3), np.float32)
         f = _save(tmp_path, "a.npy", a)

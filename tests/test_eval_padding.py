@@ -127,6 +127,55 @@ class TestValidateMasking:
         assert out["outputs"].shape[0] == 6
 
 
+class _GatheredTwoShard:
+    """Simulates the GLOBAL stream a 2-process eval produces: each yielded
+    batch carries [shard0 rows, shard1 rows] (the layout of a batch-sharded
+    jit output), with the real HostDataLoader supplying the index/mask
+    math."""
+
+    def __init__(self, n, bs):
+        self._ld = _mk(n, bs, shards=2, shard=0)
+
+    def global_valid_masks(self):
+        return self._ld.global_valid_masks()
+
+    def global_row_indices(self):
+        return self._ld.global_row_indices()
+
+    def __iter__(self):
+        for rows in self._ld.global_row_indices():
+            yield {"idx": rows}
+
+
+class TestShardInterleavedRowOrder:
+    def test_validate_restores_val_list_order(self):
+        """Under num_shards > 1 gathered rows are shard-interleaved
+        ((b*bs+k)*P + p); validate() must return/save matrices in VAL-LIST
+        order so val_*.npy artifacts line up with val_labels() and
+        --pred_files scoring (regression)."""
+        n, bs = 9, 4
+        ld = _GatheredTwoShard(n, bs)
+        # the raw stream really is interleaved, not val order
+        flat = np.concatenate(ld.global_row_indices())
+        assert not np.array_equal(flat[:n], np.arange(n))
+
+        def preprocess(hb):
+            idx = np.asarray(hb["idx"])
+            tgt = idx % 3
+            logits = np.full((len(idx), 3), -5.0, np.float32)
+            logits[np.arange(len(idx)), tgt] = 5.0
+            logits[:, 0] = idx  # encode provenance in channel 0
+            return jnp.asarray(logits), jnp.asarray(tgt)
+
+        def eval_step(state, inputs, target, rng):
+            return inputs, jnp.asarray(0.01)
+
+        out = validate(ld, preprocess, eval_step, None, adamml=False)
+        assert out["outputs"].shape[0] == n
+        np.testing.assert_array_equal(out["outputs"][:, 0].astype(np.int64),
+                                      np.arange(n))
+
+
 class TestEndToEndRaggedVal:
     def test_adamml_validate_ragged_val_set(self, tmp_path):
         """Synthetic val set NOT divisible by the batch: one compiled eval

@@ -80,6 +80,34 @@ class TestOversampleEndToEnd:
 
         assert glob.glob(os.path.join(tr.log_folder, "val_3crops_*.npy"))
 
+    def test_sound_only_unimodal_crops_fold(self, tmp_path):
+        """Sound has no spatial crops, but --num_crops must still fold the
+        batch so the eval step's per-crop reshape stays aligned (regression:
+        the crop count is config-driven, not inferred from crop rects, which
+        a sound-only batch does not carry). Metrics equal --num_crops 1."""
+        from tests.test_e2e import tiny_cfg
+        from adamml_tpu.train.curriculum import UnimodalTrainer
+
+        import jax
+
+        from adamml_tpu.train.engine import validate
+
+        cfg1 = tiny_cfg(tmp_path / "a", modality=("sound",))
+        cfg1.model.backbone_net = "sound_mobilenet_v2"
+        cfg3 = tiny_cfg(tmp_path / "b", modality=("sound",),
+                        data__num_crops=3)
+        cfg3.model.backbone_net = "sound_mobilenet_v2"
+        t1, t3 = UnimodalTrainer(cfg1), UnimodalTrainer(cfg3)
+        rng = jax.random.PRNGKey(0)
+        v1 = validate(t1.val_loader, t1.val_pre, t1.eval_step, t1.state,
+                      rng=rng, adamml=False)
+        v3 = validate(t3.val_loader, t3.val_pre, t3.eval_step, t3.state,
+                      rng=rng, adamml=False)
+        assert v1["outputs"].shape == v3["outputs"].shape
+        # replicated rows average to the single-crop logits exactly
+        np.testing.assert_allclose(v1["outputs"], v3["outputs"],
+                                   rtol=1e-5, atol=1e-5)
+
     def test_crop_average_differs_from_single_crop(self, tmp_path):
         """3-crop logits are a real average: they differ from 1-crop logits
         for the same weights/data."""

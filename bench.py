@@ -14,24 +14,23 @@ at a generous 40% MFU -> 27.4 videos/sec/chip. vs_baseline is measured
 throughput divided by that estimate.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Process model (round 4): the PARENT process never imports jax. Every
+measurement attempt runs in a CHILD subprocess (`bench.py --child ...`), so
+a RESOURCE_EXHAUSTED at one batch size dies with its process -- its device
+buffers, caches, and exception tracebacks cannot poison the next attempt.
+This replaces the round-3 in-process degradation ladder, whose saved
+exception traceback pinned the failed attempt's multi-GB buffers alive and
+turned one OOM into rc=1 for the whole bench (VERDICT r3 weak #1).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-
-# persistent compilation cache: flagship-step compiles take minutes on the
-# relay; cache hits make re-benches (and sweep re-runs) near-instant
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/tmp/adamml_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 # reference cost model: GFLOPs/video fwd at full selection (BASELINE.md)
 REF_FWD_GFLOPS = 76.39
@@ -42,10 +41,44 @@ BASELINE_VIDEOS_PER_SEC = (REF_PEAK_TFLOPS_FP32 * 1e12 * REF_MFU) / (
 
 V5E_PEAK_TFLOPS_BF16 = 197.0
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
-def measure(batch: int, steps: int) -> dict:
+# Attempt ladder, best-first: each entry is (batch, extra env). The order is
+# set by the measured round-4 sweep on the real chip (BENCH.md); the parent
+# walks down on any child failure, so the record degrades instead of dying.
+CANDIDATES = [
+    (32, {"ADAMML_REMAT_STAGES": "1"}),
+    (24, {}),
+    (16, {}),
+    (8, {}),
+]
 
-    import os
+
+def measure(batch: int, steps: int, tiny: bool = False) -> dict:
+    """One in-process measurement. jax is imported HERE, not at module
+    scope, so the parent process stays backend-free."""
+    import jax
+    import jax.numpy as jnp
+
+    # test hook: the axon sitecustomize re-asserts JAX_PLATFORMS=axon at
+    # interpreter start, so CPU-backed bench children (tests/test_bench.py)
+    # must override via jax.config before the backend is touched -- the same
+    # dance as tests/conftest.py
+    plat = os.environ.get("ADAMML_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
+    # persistent compilation cache: flagship-step compiles take minutes on
+    # the relay; cache hits make re-benches (and sweep re-runs) near-instant
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/adamml_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    fake_oom = os.environ.get("ADAMML_BENCH_FAKE_OOM", "")
+    if fake_oom and batch in {int(b) for b in fake_oom.split(",") if b}:
+        raise RuntimeError(
+            f"RESOURCE_EXHAUSTED: injected test OOM at batch {batch}")
 
     from __graft_entry__ import _flagship_cfg
     from adamml_tpu.models.model_builder import (build_model, example_inputs,
@@ -54,7 +87,8 @@ def measure(batch: int, steps: int) -> dict:
     from adamml_tpu.train.steps import make_adamml_train_step
     from adamml_tpu.train.train_state import AdaMMLTrainState, StageFlags
 
-    cfg = _flagship_cfg()
+    cfg = _flagship_cfg(tiny=tiny)
+    num_segments = cfg.model.num_segments
     # A/B knobs for perf experiments (BENCH.md): ADAMML_FUSED=0 forces
     # per-tensor optax updates; ADAMML_SPD=K benches the K-step scanned
     # dispatch (steps.make_adamml_multi_step)
@@ -72,7 +106,8 @@ def measure(batch: int, steps: int) -> dict:
     spd = int(os.environ.get("ADAMML_SPD", "1"))
     model, _ = build_model(cfg)
     rng = jax.random.PRNGKey(0)
-    inputs = example_inputs(cfg, batch=batch, num_segments=5, rng=rng)
+    inputs = example_inputs(cfg, batch=batch, num_segments=num_segments,
+                            rng=rng)
     inputs = [x.astype(jnp.bfloat16) for x in inputs]
     variables = init_model(model, cfg, inputs, rng, train=True)
     params = dict(variables["params"])
@@ -144,50 +179,93 @@ def measure(batch: int, steps: int) -> dict:
     return result
 
 
-def _measure_robust(batches, steps: int) -> dict:
-    """Measure the first batch size that fits. The relay exposes a
-    memory-limited slice and the flagship step at the largest batch runs at
-    the edge of it -- a RESOURCE_EXHAUSTED must degrade to the next batch
-    size, never lose the record."""
-    last_err = None
-    for batch in batches:
-        try:
-            return measure(batch, steps)
-        except Exception as e:  # jax.errors.JaxRuntimeError etc.
-            if "RESOURCE_EXHAUSTED" not in str(e):
-                raise
-            print(f"# batch={batch} RESOURCE_EXHAUSTED; degrading",
-                  file=sys.stderr)
-            last_err = e
-    raise last_err
+def _run_child(batch: int, steps: int, env_extra: dict,
+               tiny: bool = False, timeout: int = 3600):
+    """Run one measurement attempt in a fresh subprocess. Returns the parsed
+    JSON result dict, or None on any child failure (the child's stderr/tail
+    is echoed so the failure is visible in the bench log)."""
+    cmd = [sys.executable, os.path.join(_REPO_DIR, "bench.py"), "--child",
+           str(batch), str(steps)]
+    if tiny:
+        cmd.append("--tiny")
+    env = dict(os.environ)
+    env.update(env_extra)
+    try:
+        proc = subprocess.run(cmd, cwd=_REPO_DIR, env=env,
+                              capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        print(f"# child batch={batch} TIMEOUT after {timeout}s; degrading",
+              file=sys.stderr)
+        return None
+    sys.stderr.write(proc.stderr[-4000:])
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout).strip().splitlines()[-15:]
+        print(f"# child batch={batch} env={env_extra} rc={proc.returncode}; "
+              "degrading. tail:", file=sys.stderr)
+        for ln in tail:
+            print(f"#   {ln}", file=sys.stderr)
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                break
+    print(f"# child batch={batch} produced no JSON line; degrading",
+          file=sys.stderr)
+    return None
+
+
+def run_candidates(candidates, runner, best_of_all: bool = False):
+    """Walk the attempt ladder. runner(batch, env) -> result dict or None.
+    Default: first success wins (ladder is ordered best-first). With
+    best_of_all, every candidate runs and the highest value wins."""
+    best = None
+    for batch, env_extra in candidates:
+        r = runner(batch, env_extra)
+        if r is None:
+            continue
+        if not best_of_all:
+            return r
+        if best is None or r.get("value", 0) > best.get("value", 0):
+            best = r
+    return best
 
 
 def main() -> int:
-    # Default: the best honest config from the measured batch sweep
-    # (BENCH.md: 8 -> 115.1, 16 -> 122.2, 24 -> 127.8 clips/s; 32 OOMs the
-    # relay slice). The reference trains at global batch 72 over many GPUs,
-    # so per-chip batch is free to pick. `bench.py <batch> [steps]` measures
-    # one config; `bench.py --sweep` re-runs the sweep.
-    if len(sys.argv) > 1 and sys.argv[1] == "--sweep":
-        best = None
-        for batch in (8, 16, 24):
-            try:
-                r = measure(batch, 20)
-            except Exception as e:
-                if "RESOURCE_EXHAUSTED" not in str(e):
-                    raise
-                print(f"# batch={batch} RESOURCE_EXHAUSTED", file=sys.stderr)
-                continue
-            if best is None or r["value"] > best["value"]:
-                best = r
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--child":
+        batch = int(argv[1])
+        steps = int(argv[2]) if len(argv) > 2 and argv[2].isdigit() else 20
+        tiny = "--tiny" in argv
+        print(json.dumps(measure(batch, steps, tiny=tiny)))
+        return 0
+    if argv and argv[0] == "--sweep":
+        best = run_candidates(CANDIDATES,
+                              lambda b, e: _run_child(b, 20, e),
+                              best_of_all=True)
+        if best is None:
+            print("# all sweep candidates failed", file=sys.stderr)
+            return 1
         print(json.dumps(best))
         return 0
-    if len(sys.argv) > 1:
-        batch = int(sys.argv[1])
-        steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-        print(json.dumps(measure(batch, steps)))
+    if argv:
+        # `bench.py <batch> [steps]`: one config, still subprocess-isolated
+        batch = int(argv[0])
+        steps = int(argv[1]) if len(argv) > 1 else 20
+        r = _run_child(batch, steps, {})
+        if r is None:
+            return 1
+        print(json.dumps(r))
         return 0
-    print(json.dumps(_measure_robust((24, 16, 8), 20)))
+    # Default: walk the measured-best ladder; first success is the record.
+    r = run_candidates(CANDIDATES, lambda b, e: _run_child(b, 20, e))
+    if r is None:
+        print("# every candidate failed -- no throughput record",
+              file=sys.stderr)
+        return 1
+    print(json.dumps(r))
     return 0
 
 

@@ -1,0 +1,129 @@
+"""bench.py is the one artifact the driver grades; test it like everything
+else (VERDICT r3: an untested in-process OOM ladder lost the round-3 perf
+record).
+
+Covers: (a) the parent process never imports jax -- so a child OOM cannot
+leave device state in the process that must survive it; (b) a tiny-config
+child measurement produces a valid JSON result on CPU; (c) the degradation
+ladder returns the first/best surviving result, including through a REAL
+subprocess whose measure() raises an injected RESOURCE_EXHAUSTED."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def _child_env():
+    env = dict(os.environ)
+    env["ADAMML_BENCH_PLATFORM"] = "cpu"
+    # share the test suite's persistent compile cache across bench children
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
+    return env
+
+
+def _load_bench():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_parent_never_initializes_jax():
+    """The parent's immunity to child OOMs depends on it holding no backend.
+    The axon sitecustomize pre-imports jax at interpreter start, so the
+    testable invariant is: importing bench adds no jax modules and leaves
+    the backend uninitialized (no device buffers can exist in the parent)."""
+    code = (
+        "import sys\n"
+        "pre = {m for m in sys.modules if m == 'jax' or m.startswith('jax.')}\n"
+        "sys.path.insert(0, %r)\n"
+        "import bench\n"
+        "post = {m for m in sys.modules if m == 'jax' or m.startswith('jax.')}\n"
+        "assert post == pre, 'bench imported jax modules: %%s' %% (post - pre)\n"
+        "if 'jax' in sys.modules:\n"
+        "    from jax._src import xla_bridge\n"
+        "    assert not getattr(xla_bridge, '_backends', None), \\\n"
+        "        'importing bench initialized a jax backend'\n"
+        % REPO)
+    proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                          text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr
+
+
+def test_run_candidates_first_success_wins():
+    bench = _load_bench()
+    calls = []
+
+    def runner(batch, env):
+        calls.append(batch)
+        if batch == 32:
+            return None  # simulated failed child
+        return {"value": 100.0 + batch, "metric": "m"}
+
+    r = bench.run_candidates([(32, {}), (24, {}), (16, {})], runner)
+    assert r == {"value": 124.0, "metric": "m"}
+    assert calls == [32, 24]  # ladder stops at first success
+
+
+def test_run_candidates_best_of_all():
+    bench = _load_bench()
+    results = {32: None, 24: {"value": 110.0}, 16: {"value": 120.0}}
+    r = bench.run_candidates([(32, {}), (24, {}), (16, {})],
+                             lambda b, e: results[b], best_of_all=True)
+    assert r == {"value": 120.0}
+
+
+def test_run_candidates_all_fail():
+    bench = _load_bench()
+    assert bench.run_candidates([(8, {})], lambda b, e: None) is None
+
+
+@pytest.mark.slow
+def test_child_tiny_smoke():
+    """One real child measurement on the tiny flagship config (CPU): must
+    exit 0 with a parseable JSON record on the last stdout line."""
+    proc = subprocess.run(
+        [sys.executable, BENCH, "--child", "2", "2", "--tiny"],
+        cwd=REPO, env=_child_env(), capture_output=True, text=True,
+        timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [ln for ln in proc.stdout.strip().splitlines()
+            if ln.startswith("{")][-1]
+    r = json.loads(line)
+    assert r["metric"] == "adamml_train_clips_per_sec_per_chip"
+    assert r["unit"] == "clips/sec/chip"
+    assert r["value"] > 0
+    assert r["vs_baseline"] > 0
+
+
+@pytest.mark.slow
+def test_fake_oom_degrades_through_subprocess():
+    """End-to-end ladder: candidate 1's child raises an injected
+    RESOURCE_EXHAUSTED and dies; candidate 2's child must still produce a
+    valid record -- the exact failure mode that lost BENCH_r03."""
+    bench = _load_bench()
+    base = _child_env()
+
+    def runner(batch, env_extra):
+        env = dict(base)
+        env.update(env_extra)
+        os_env_backup = dict(os.environ)
+        os.environ.update(env)
+        try:
+            return bench._run_child(batch, 2, env_extra, tiny=True,
+                                    timeout=900)
+        finally:
+            os.environ.clear()
+            os.environ.update(os_env_backup)
+
+    r = bench.run_candidates(
+        [(4, {"ADAMML_BENCH_FAKE_OOM": "4"}), (2, {})], runner)
+    assert r is not None and r["value"] > 0, r

@@ -39,9 +39,12 @@ CPU, bit-level on hardware).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
 
 from ..temporal import temporal_pool
 
@@ -134,8 +137,10 @@ def _bwd_kernel(y_ref, id_ref, a_ref, b_ref, ct_ref, dpre_ref,
     dab_ref[...] += part
 
 
-def _pallas_bwd(y, ident, a, b, ct, *, interpret: bool = False):
-    """(dy, dident, da, db) via the fused backward kernel."""
+def _bwd_core(y, ident, a, b, ct, *, interpret: bool = False):
+    """Raw backward pallas_call: (dpre, dab) -- the two kernel outputs.
+    Everything downstream of them (dy broadcast-multiply, the per-group dab
+    reduction) is plain jnp, which GSPMD partitions on its own."""
     from jax.experimental import pallas as pl
 
     n, f, h, w, c = y.shape
@@ -148,7 +153,7 @@ def _pallas_bwd(y, ident, a, b, ct, *, interpret: bool = False):
     grid = (n, h // hb)
     blk = lambda i, j: (i, 0, j, 0, 0)
     aff = lambda i, j: ((i // rows_per_rep) * s + i % s, 0, 0)
-    dpre, dab = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bwd_kernel, f_in=f),
         grid=grid,
         in_specs=[
@@ -168,6 +173,22 @@ def _pallas_bwd(y, ident, a, b, ct, *, interpret: bool = False):
         ],
         interpret=interpret,
     )(y, ident, a.reshape(r * s, 1, c), b.reshape(r * s, 1, c), ct)
+
+
+def _pallas_bwd(y, ident, a, b, ct, *, interpret: bool = False):
+    """(dy, dident, da, db) via the fused backward kernel."""
+    n, f, h, w, c = y.shape
+    r, s, _ = a.shape
+    rows_per_rep = n // r
+    if jax.device_count() > 1:
+        # multi-device: route through the custom_partitioning-wrapped op so
+        # GSPMD shards the kernel over batch/channel instead of rejecting
+        # the Mosaic custom call (on a single-device jit the op inlines to
+        # the direct call below)
+        dpre, dab = _bwd_op(y, ident, a, b, ct)
+    else:
+        dpre, dab = _bwd_core(y, ident, a, b, ct,
+                              interpret=interpret or _interp())
     # dy = dpre * a, applied as a lazily-fused broadcast multiply (rows are
     # clip-major: factor (R, clips, S)); XLA folds it into dy's consumer, so
     # the kernel writes ONE full-size tensor instead of two
@@ -179,7 +200,7 @@ def _pallas_bwd(y, ident, a, b, ct, *, interpret: bool = False):
     return dy, dpre, part[:, :, 0], part[:, :, 1]
 
 
-def _pallas_fwd(y, ident, a, b):
+def _pallas_fwd(y, ident, a, b, *, interpret: bool = False):
     from jax.experimental import pallas as pl
 
     n, f, h, w, c = y.shape
@@ -204,18 +225,167 @@ def _pallas_fwd(y, ident, a, b):
         ],
         out_specs=pl.BlockSpec((1, fo, hb, w, c), blk),
         out_shape=jax.ShapeDtypeStruct((n, fo, h, w, c), y.dtype),
+        interpret=interpret,
     )(y, ident, a.reshape(r * s, 1, c), b.reshape(r * s, 1, c))
 
 
+# --------------------------------------------------------------------------
+# GSPMD integration: custom_partitioning rules so the Mosaic kernel composes
+# with a jax.sharding.Mesh (VERDICT r3 #3). The batch (dim 0) and channel
+# (dim 4) axes are pure passthrough for this kernel -- every output row/
+# channel depends only on the same input row/channel -- so each shard runs
+# the unmodified kernel on its local block. The grouped-BN affine (R, S, C)
+# is sharded along R together with the batch whenever shard boundaries
+# align with replica-group boundaries (R % D == 0; the R == 1 SyncBN case
+# replicates it), so no shard ever sees another shard's affine.
+# --------------------------------------------------------------------------
+
+
+def _interp() -> bool:
+    # pallas interpret mode off-TPU: used by the CPU-mesh tests/dryrun that
+    # force the kernel on via ADAMML_TPOOL_FORCE=1
+    return jax.default_backend() != "tpu"
+
+
+def _axes_of(sharding, dim):
+    """Mesh axis names sharding `dim` of a NamedSharding, as a flat tuple."""
+    spec = getattr(sharding, "spec", None)
+    if spec is None or len(spec) <= dim:
+        return ()
+    e = spec[dim]
+    if e is None:
+        return ()
+    return tuple(e) if isinstance(e, (tuple, list)) else (e,)
+
+
+def _plan(mesh, arg_shapes):
+    """Decide the shard layout: (batch_axes, chan_axes, shard_affine) or
+    None for fully-replicated execution (every shard runs the full kernel;
+    only hit when the batch doesn't align with the mesh)."""
+    y, a = arg_shapes[0], arg_shapes[2]
+    baxes = _axes_of(y.sharding, 0)
+    caxes = _axes_of(y.sharding, 4)
+    d = 1
+    for ax in baxes:
+        d *= mesh.shape[ax]
+    dc = 1
+    for ax in caxes:
+        dc *= mesh.shape[ax]
+    n, _f, _h, _w, c = y.shape
+    r, s, _ = a.shape
+    if dc > 1 and (c % dc or (c // dc) % 8):
+        caxes, dc = (), 1  # local channel block must stay lane-aligned
+    if d > 1:
+        if n % d:
+            return None
+        n_loc = n // d
+        if r == 1:
+            # SyncBN: one group; local rows keep the segment pattern iff the
+            # shard size is a whole number of (segment-major) clip rows
+            if n_loc % s:
+                return None
+            shard_aff = False
+        elif r % d == 0 and n % r == 0 and (n // r) % s == 0:
+            # per-replica groups: each shard owns R/D whole groups -> slice
+            # the affine along R by sharding it on the same batch axes
+            shard_aff = True
+        else:
+            return None
+    elif dc == 1:
+        return None
+    else:
+        shard_aff = False
+    return baxes, caxes, shard_aff
+
+
+def _entry(axes):
+    if not axes:
+        return None
+    return axes if len(axes) > 1 else axes[0]
+
+
+def _specs(plan):
+    baxes, caxes, shard_aff = plan
+    b0, c0 = _entry(baxes), _entry(caxes)
+    data = PartitionSpec(b0, None, None, None, c0)
+    aff = PartitionSpec(b0 if shard_aff else None, None, c0)
+    dab = PartitionSpec(b0, None, c0)
+    return data, aff, dab
+
+
+def _partition_fwd(mesh, arg_shapes, result_shape):
+    plan = _plan(mesh, arg_shapes)
+
+    def lower(y, ident, a, b):
+        return _pallas_fwd(y, ident, a, b, interpret=_interp())
+
+    if plan is None:
+        rep = NamedSharding(mesh, PartitionSpec())
+        return mesh, lower, rep, (rep,) * 4
+    data, aff, _ = _specs(plan)
+    ds, as_ = NamedSharding(mesh, data), NamedSharding(mesh, aff)
+    return mesh, lower, ds, (ds, ds, as_, as_)
+
+
+def _infer_fwd(mesh, arg_shapes, result_shape):
+    plan = _plan(mesh, arg_shapes)
+    if plan is None:
+        return NamedSharding(mesh, PartitionSpec())
+    return NamedSharding(mesh, _specs(plan)[0])
+
+
+def _partition_bwd(mesh, arg_shapes, result_shape):
+    plan = _plan(mesh, arg_shapes)
+
+    def lower(y, ident, a, b, ct):
+        return tuple(_bwd_core(y, ident, a, b, ct, interpret=_interp()))
+
+    if plan is None:
+        rep = NamedSharding(mesh, PartitionSpec())
+        return mesh, lower, (rep, rep), (rep,) * 5
+    data, aff, dab = _specs(plan)
+    ds, as_ = NamedSharding(mesh, data), NamedSharding(mesh, aff)
+    return mesh, lower, (ds, NamedSharding(mesh, dab)), (ds, ds, as_, as_, ds)
+
+
+def _infer_bwd(mesh, arg_shapes, result_shape):
+    plan = _plan(mesh, arg_shapes)
+    if plan is None:
+        rep = NamedSharding(mesh, PartitionSpec())
+        return (rep, rep)
+    data, _aff, dab = _specs(plan)
+    return (NamedSharding(mesh, data), NamedSharding(mesh, dab))
+
+
+@custom_partitioning
+def _fwd_op(y, ident, a, b):
+    return _pallas_fwd(y, ident, a, b, interpret=_interp())
+
+
+_fwd_op.def_partition(
+    partition=_partition_fwd,
+    infer_sharding_from_operands=_infer_fwd,
+    # Shardy propagation rule (the partition callback above still has final
+    # say at lowering): batch + channel pass through; frame/spatial factors
+    # are kernel-internal
+    sharding_rule="n f h w c, n f h w c, r s c, r s c -> n g h w c")
+
+
+@custom_partitioning
+def _bwd_op(y, ident, a, b, ct):
+    return tuple(_bwd_core(y, ident, a, b, ct, interpret=_interp()))
+
+
+_bwd_op.def_partition(
+    partition=_partition_bwd,
+    infer_sharding_from_operands=_infer_bwd,
+    sharding_rule=("n f h w c, n f h w c, r s c, r s c, n g h w c "
+                   "-> n f h w c, n t c"))
+
+
 def _supported(y, a) -> bool:
-    if jax.default_backend() != "tpu":
-        return False
-    # Under multi-device GSPMD jit the Mosaic custom call has no SPMD
-    # partitioning rule: the partitioner would reject it or replicate the
-    # full global stage-boundary tensor onto every chip -- the opposite of
-    # this kernel's purpose. Fall back to the jnp composition (which XLA
-    # partitions fine) until the op carries a custom_partitioning rule.
-    if jax.device_count() > 1:
+    if jax.default_backend() != "tpu" and (
+            os.environ.get("ADAMML_TPOOL_FORCE") != "1"):
         return False
     n, f, h, w, c = y.shape
     r, s, _ = a.shape
@@ -238,7 +408,11 @@ def fused_bn_add_relu_tpool(y, ident, a, b):
     a, b: (R, S, C) grouped BN affine (R=S=1 is global). Returns
     (N, F_out, H, W, C) in y.dtype."""
     if _supported(y, a):
-        return _pallas_fwd(y, ident, a, b)
+        if jax.device_count() > 1:
+            # GSPMD path: the custom_partitioning op shards the kernel over
+            # batch/channel (inlines to the direct call on single-device jit)
+            return _fwd_op(y, ident, a, b)
+        return _pallas_fwd(y, ident, a, b, interpret=_interp())
     return reference_impl(y, ident, a, b)
 
 
@@ -247,8 +421,6 @@ def _fwd(y, ident, a, b):
 
 
 def _bwd(res, ct):
-    import os
-
     y, ident, a, b = res
     if _supported(y, a) and os.environ.get("ADAMML_TPOOL_BWD") != "jnp":
         return _pallas_bwd(y, ident, a, b, ct)

@@ -61,6 +61,7 @@ class AdaMML(nn.Module):
     rng_threshold: float = 0.5
     policy_input_size: int = 160
     eval_capacity: Optional[float] = None  # real conditional compute at eval
+    capacity_groups: int = 1  # pack per data shard (models/joint_net.py)
     use_pallas_dw: bool = False
     remat: bool = False
     remat_stages: Tuple[int, ...] = ()
@@ -134,6 +135,7 @@ class AdaMML(nn.Module):
                             fusion_point=self.fusion_point,
                             learnable_lf_weights=self.learnable_lf_weights,
                             eval_capacity=self.eval_capacity,
+                            capacity_groups=self.capacity_groups,
                             use_pallas_dw=self.use_pallas_dw,
                             remat=self.remat,
                             remat_stages=self.remat_stages,

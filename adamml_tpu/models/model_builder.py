@@ -31,6 +31,15 @@ def _bn_axis(cfg: ExperimentConfig) -> Optional[str]:
     return None
 
 
+def _data_shards(cfg: ExperimentConfig) -> int:
+    """Resolved size of the mesh 'data' axis (parallel/mesh.make_mesh)."""
+    model = max(1, cfg.runtime.mesh_model)
+    data = cfg.runtime.mesh_data
+    if data is None or data <= 0:
+        data = max(1, len(jax.devices()) // model)
+    return data
+
+
 def _bn_groups(cfg: ExperimentConfig) -> int:
     """Moment scope for GroupedBatchNorm (models/norm.py). The reference's
     DEFAULT is per-replica BN; SyncBN is opt-in via --sync-bn (reference
@@ -38,11 +47,7 @@ def _bn_groups(cfg: ExperimentConfig) -> int:
     data-parallel shard; --sync-bn = one global group."""
     if cfg.runtime.sync_bn:
         return 1
-    model = max(1, cfg.runtime.mesh_model)
-    data = cfg.runtime.mesh_data
-    if data is None or data <= 0:
-        data = max(1, len(jax.devices()) // model)
-    return data
+    return _data_shards(cfg)
 
 
 def build_model(cfg: ExperimentConfig) -> Tuple[object, str]:
@@ -57,7 +62,9 @@ def build_model(cfg: ExperimentConfig) -> Tuple[object, str]:
             causality_modeling=m.causality_modeling, rng_policy=m.rng_policy,
             rng_threshold=m.rng_threshold,
             policy_input_size=m.policy_input_size,
-            eval_capacity=m.eval_capacity, use_pallas_dw=m.use_pallas_dw,
+            eval_capacity=m.eval_capacity,
+            capacity_groups=_data_shards(cfg),
+            use_pallas_dw=m.use_pallas_dw,
             remat=m.remat_backbone, remat_stages=tuple(m.remat_stages),
             remat_policy=m.remat_policy,
             fused_tpool=m.fused_tpool,

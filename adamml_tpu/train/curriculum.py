@@ -30,7 +30,8 @@ from ..data.device_pipeline import (make_batch_preprocessor,
 from ..data.synthetic import SyntheticVideoDataset
 from ..data.video_dataset import MultiVideoDataset
 from ..models.adamml import INIT_TEMPERATURE, TEMPERATURE_DECAY
-from ..models.model_builder import build_model, example_inputs, init_model
+from ..models.model_builder import (_data_shards, build_model, example_inputs,
+                                    init_model)
 from ..parallel.mesh import make_mesh, place_on_mesh, shard_batch
 from ..utils.logging import RankZeroLogger
 from ..ckpt.checkpoint import (CheckpointManager, load_checkpoint, peek_meta,
@@ -301,7 +302,8 @@ class AdaMMLTrainer:
         return validate(self.val_loader, self.val_pre, self.eval_step,
                         self.state, rng=sub, modality=self.modality,
                         adamml=True, num_segments=self.cfg.data.val_num_clips,
-                        eval_capacity=self.cfg.model.eval_capacity)
+                        eval_capacity=self.cfg.model.eval_capacity,
+                        capacity_groups=_data_shards(self.cfg))
 
     def _log_train(self, logger, epoch, total, s):
         sel = " ".join(f"{k}:{v * 100:.2f}" for k, v in s["selection"].items())

@@ -209,7 +209,8 @@ def train_epoch(loader, preprocess: Callable, step_fn: Callable, state,
 def validate(loader, preprocess: Callable, eval_step: Callable, state,
              *, rng: Optional[jax.Array] = None,
              modality: Optional[Sequence[str]] = None, adamml: bool = True,
-             num_segments: int = 10, eval_capacity: Optional[float] = None):
+             num_segments: int = 10, eval_capacity: Optional[float] = None,
+             capacity_groups: int = 1):
     """Full validation pass. Returns a summary dict including the gathered
     outputs / selections (reference validate_adamml contract,
     utils/utils.py:427-507)."""
@@ -256,6 +257,28 @@ def validate(loader, preprocess: Callable, eval_step: Callable, state,
     all_targets = [_host_global(x) for x in all_targets]
     all_selections = [_host_global(x) for x in all_selections]
 
+    dropped = None
+    if (adamml and eval_capacity is not None and eval_capacity < 1.0
+            and all_selections):
+        # real-conditional-compute packing silently zeroes over-capacity
+        # selections; count them with EXACTLY the executed row sets: the
+        # model packs per data shard (models/joint_net.py capacity_groups)
+        # over contiguous clip-major row blocks INCLUDING padded tail rows,
+        # so this accounting runs on the raw pre-mask selections with the
+        # same per-shard blocks and the same capacity formula.
+        dropped = np.zeros((len(modality),), np.int64)
+        for dec in all_selections:               # raw (n, S, M) per batch
+            rows = dec.shape[0] * dec.shape[1]
+            if rows == 0:
+                continue
+            g = (capacity_groups if capacity_groups > 1
+                 and rows % capacity_groups == 0 else 1)
+            rl = rows // g
+            cap = max(1, int(round(eval_capacity * rl)))
+            picked = dec.reshape(g, rl, -1).sum(axis=1)  # (G, M)
+            dropped += np.maximum(0, picked - cap).sum(axis=0).astype(
+                np.int64)
+
     # Padded-tail masking: the loader pads the ragged final batch (and any
     # shard-equalization rows) with wrapped real samples so the compiled
     # eval shape is static; those rows must not count. Every process
@@ -300,25 +323,6 @@ def validate(loader, preprocess: Callable, eval_step: Callable, state,
     targets = np.concatenate(all_targets, axis=0)
     selections = (np.concatenate(all_selections, axis=0) if all_selections
                   else None)
-
-    dropped = None
-    if (adamml and eval_capacity is not None and eval_capacity < 1.0
-            and selections is not None):
-        # real-conditional-compute packing silently zeroes over-capacity
-        # selections (models/joint_net.py); count them per modality (packing
-        # capacity applies per eval batch) so modeled vs executed selection
-        # rates are distinguishable
-        dropped = np.zeros((len(modality),), np.int64)
-        off = 0
-        for n in batch_sizes:
-            dec = selections[off:off + n]            # (n, S, M)
-            if dec.shape[0] == 0:
-                continue
-            rows = dec.shape[0] * dec.shape[1]
-            cap = max(1, int(round(eval_capacity * rows)))
-            picked = dec.reshape(rows, -1).sum(axis=0)
-            dropped += np.maximum(0, picked - cap).astype(np.int64)
-            off += n
 
     # restore VAL-LIST row order (shard-interleaved under num_shards > 1);
     # metrics are order-invariant but the returned/saved matrices are not

@@ -1,0 +1,138 @@
+"""Per-shard eval_capacity packing (VERDICT r3 weak #6).
+
+The packing in models/joint_net.py now splits the batch into
+`capacity_groups` contiguous clip-major blocks (= GSPMD data shards) and
+packs each block against its own capacity, with every pack/unpack op along
+axis 1 of a (G, B/G, ...) view -- so the compiled eval step never gathers
+backbone inputs across shards, and the engine's drop accounting
+(train/engine.py validate) can reproduce the executed row sets exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from adamml_tpu.models.joint_net import JointMainNet
+
+
+def _rngs():
+    return {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+
+
+def _executed_decisions(dec: np.ndarray, capacity: float,
+                        groups: int) -> np.ndarray:
+    """The row set the packed model actually runs: per modality, per
+    contiguous block of B/groups rows, the first `cap` rows by stable
+    descending-decision order. Mirrors joint_net.py exactly."""
+    m, b = dec.shape
+    bl = b // groups
+    cap = max(1, int(round(capacity * bl)))
+    out = np.zeros_like(dec)
+    for mi in range(m):
+        for g in range(groups):
+            blk = dec[mi, g * bl:(g + 1) * bl]
+            order = np.argsort(-blk, kind="stable")
+            keep = order[:cap]
+            out[mi, g * bl + keep] = blk[keep]
+    return out
+
+
+def test_per_group_packing_equals_blockwise_global():
+    """capacity_groups=G output == running the G=1 model on each block
+    independently (same params): per-shard packing is exactly global
+    packing applied shard-locally."""
+    b, g = 8, 4
+    rgb = jax.random.normal(jax.random.PRNGKey(0), (b, 2, 32, 32, 3))
+    dec = jnp.asarray(
+        [[1., 1., 0., 1., 1., 1., 0., 0.]])  # block loads differ
+    grouped = JointMainNet(modality=("rgb",), depth=18, num_classes=5,
+                           dropout=0.0, eval_capacity=0.5,
+                           capacity_groups=g)
+    single = JointMainNet(modality=("rgb",), depth=18, num_classes=5,
+                          dropout=0.0, eval_capacity=0.5, capacity_groups=1)
+    v = grouped.init(_rngs(), [rgb], None, train=False)
+    out_g = np.asarray(grouped.apply(v, [rgb], dec, train=False))
+    bl = b // g
+    blocks = [np.asarray(single.apply(v, [rgb[i * bl:(i + 1) * bl]],
+                                      dec[:, i * bl:(i + 1) * bl],
+                                      train=False))
+              for i in range(g)]
+    np.testing.assert_allclose(out_g, np.concatenate(blocks, axis=0),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_executed_row_set_matches_model():
+    """The accounting's predicted executed row set reproduces the packed
+    model bit-for-bit: zeroing the predicted-dropped decisions and running
+    WITHOUT capacity gives the same logits."""
+    b, g = 8, 4
+    rgb = jax.random.normal(jax.random.PRNGKey(2), (b, 2, 32, 32, 3))
+    dec_np = np.asarray([[1., 1., 1., 0., 1., 1., 1., 1.]], np.float32)
+    packed = JointMainNet(modality=("rgb",), depth=18, num_classes=5,
+                          dropout=0.0, eval_capacity=0.5, capacity_groups=g)
+    full = JointMainNet(modality=("rgb",), depth=18, num_classes=5,
+                        dropout=0.0)
+    v = packed.init(_rngs(), [rgb], None, train=False)
+    out_packed = np.asarray(packed.apply(v, [rgb], jnp.asarray(dec_np),
+                                         train=False))
+    exe = _executed_decisions(dec_np, 0.5, g)
+    assert exe.sum() < dec_np.sum()  # this case genuinely drops rows
+    out_full = np.asarray(full.apply(v, [rgb], jnp.asarray(exe),
+                                     train=False))
+    np.testing.assert_allclose(out_packed, out_full, rtol=2e-3, atol=2e-3)
+
+
+def test_engine_drop_accounting_matches_executed():
+    """validate(capacity_groups=G) reports EXACTLY
+    selected_total - executed_total per modality, where executed is the
+    model's per-shard packed row set (computed by the same math)."""
+    from adamml_tpu.train.engine import validate
+
+    n, s, m, g = 8, 2, 2, 4
+    rng = np.random.RandomState(3)
+    dec = (rng.rand(n, s, m) > 0.35).astype(np.float32)
+    logits = rng.randn(n, 5).astype(np.float32)
+    target = np.arange(n) % 5
+
+    def eval_step(state, inputs, tgt, r):
+        return jnp.asarray(logits), jnp.asarray(dec), jnp.asarray(1.0)
+
+    out = validate([dict()], lambda _b: ([jnp.zeros((n,))],
+                                         jnp.asarray(target)),
+                   eval_step, state=None, modality=["rgb", "sound"],
+                   adamml=True, num_segments=s, eval_capacity=0.5,
+                   capacity_groups=g)
+    # model-row layout: (M, n*s) clip-major
+    dec_flat = dec.transpose(2, 0, 1).reshape(m, n * s)
+    exe = _executed_decisions(dec_flat, 0.5, g)
+    expect = (dec_flat.sum(axis=1) - exe.sum(axis=1)).astype(np.int64)
+    assert out["capacity_dropped"] == {"rgb": int(expect[0]),
+                                       "sound": int(expect[1])}
+
+
+def test_no_allgather_of_backbone_inputs():
+    """Compiled eval with the batch sharded 8-way on 'data': the packed
+    path must stay shard-local -- zero all-gathers in the HLO."""
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    b, g = 16, 8
+    rgb = jax.random.normal(jax.random.PRNGKey(4), (b, 2, 32, 32, 3))
+    dec = jnp.ones((1, b))
+    model = JointMainNet(modality=("rgb",), depth=18, num_classes=5,
+                         dropout=0.0, eval_capacity=0.5, capacity_groups=g)
+    v = model.init(_rngs(), [rgb], None, train=False)
+    ds = NamedSharding(mesh, P("data", None, None, None, None))
+    rgb_s = jax.device_put(rgb, ds)
+    dec_s = jax.device_put(dec, NamedSharding(mesh, P(None, "data")))
+
+    def fwd(v, x, d):
+        return model.apply(v, [x], d, train=False)
+
+    jitted = jax.jit(fwd)
+    hlo = jitted.lower(v, rgb_s, dec_s).compile().as_text()
+    assert "all-gather" not in hlo
+    out = jitted(v, rgb_s, dec_s)
+    ref = model.apply(v, [rgb], dec, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)

@@ -35,5 +35,15 @@ assert len(jax.devices()) == 8
 
 
 def pytest_configure(config):
+    # Test tiers (VERDICT r3 next item 8): the full suite outgrew a 1-core
+    # host, so heavy chunks are marked and the FAST tier is the default
+    # regression signal:
+    #   pytest -m "not slow" tests/   -> fast tier, minutes on one core
+    #   pytest -m parity tests/       -> torch-oracle parity suites only
+    #   pytest tests/                 -> everything
     config.addinivalue_line(
-        "markers", "slow: heavy multi-process tests (two cold compiles)")
+        "markers", "slow: heavy chunks (full-curriculum e2e, bench child "
+        "processes, multi-process mesh, torch-parity trajectories)")
+    config.addinivalue_line(
+        "markers", "parity: suites that build the torch reference model "
+        "as a numerical oracle")

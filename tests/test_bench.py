@@ -15,6 +15,9 @@ import sys
 
 import pytest
 
+# spawns real bench.py child processes (cold compiles each)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 

@@ -9,6 +9,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# full-curriculum runs: many cold XLA:CPU compiles (test tiers: README)
+pytestmark = pytest.mark.slow
+
 from adamml_tpu.configs.config import ExperimentConfig
 
 

@@ -60,6 +60,7 @@ class TestOversampleRects:
                                  num_crops=4)
 
 
+@pytest.mark.slow  # several full eval compiles (test tiers: README)
 class TestOversampleEndToEnd:
     def test_adamml_eval_three_crops(self, tmp_path):
         """--num_crops 3 runs e2e: crops fold into the device batch, logits

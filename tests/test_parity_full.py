@@ -21,6 +21,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
+
 torch = pytest.importorskip("torch")
 
 REFERENCE = "/root/reference"

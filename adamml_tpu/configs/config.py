@@ -290,7 +290,11 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--disable_scaleup", action="store_true")
     p.add_argument("--random_sampling", action="store_true")
     p.add_argument("--dense_sampling", action="store_true")
-    p.add_argument("--augmentor_ver", default="v2", choices=["v1", "v2"])
+    # "random_sized" is an extension: the reference ships
+    # GroupRandomSizedCrop in its transform library but never wires it to a
+    # flag (utils/video_transforms.py:255, opts.py:95)
+    p.add_argument("--augmentor_ver", default="v2",
+                   choices=["v1", "v2", "random_sized"])
     p.add_argument("--scale_range", default=[256, 320], type=int, nargs="+")
     p.add_argument("--modality", default=["rgb"], type=str, nargs="+",
                    choices=list(MODALITIES))

@@ -55,6 +55,40 @@ def _multiscale_crop(h: int, w: int, input_size: int,
     return float(ox), float(oy), float(cw), float(ch)
 
 
+def _random_sized_crop(h: int, w: int, input_size: int,
+                       rng: np.random.RandomState
+                       ) -> Tuple[float, float, float, float]:
+    """Inception-style random sized crop (reference GroupRandomSizedCrop,
+    utils/video_transforms.py:255-298 -- present in the reference transform
+    library but unused by its get_augmentor): 10 attempts at a crop of area
+    uniform in [0.08, 1.0] x the image and aspect uniform in [3/4, 4/3]
+    (sides swapped with p=0.5); the rect is resized to (input, input), so a
+    non-square rect distorts, as in the original. Fallback after 10 misses:
+    short side -> input scale + random input x input crop (reference
+    :294-298)."""
+    area = float(w) * float(h)
+    for _ in range(10):
+        target_area = rng.uniform(0.08, 1.0) * area
+        aspect = rng.uniform(3.0 / 4.0, 4.0 / 3.0)
+        cw = int(round(np.sqrt(target_area * aspect)))
+        ch = int(round(np.sqrt(target_area / aspect)))
+        if rng.random_sample() < 0.5:
+            cw, ch = ch, cw
+        if cw <= w and ch <= h:
+            # reference random.randint is INCLUSIVE of both ends
+            x1 = rng.randint(0, w - cw + 1)
+            y1 = rng.randint(0, h - ch + 1)
+            return float(x1), float(y1), float(cw), float(ch)
+    # fallback: GroupScale(input) + GroupRandomCrop(input), expressed in
+    # source coordinates for the fused device crop-resize
+    f = input_size / min(h, w)
+    sw, sh = int(round(w * f)), int(round(h * f))
+    crop_src = input_size / f
+    x1 = rng.randint(0, max(sw - input_size, 0) + 1) / f
+    y1 = rng.randint(0, max(sh - input_size, 0) + 1) / f
+    return float(x1), float(y1), float(crop_src), float(crop_src)
+
+
 # index of the canonical (center, unflipped) crop within the oversample
 # rectangle list -- 10-crop interleaves [c0, c0_flip, c1, c1_flip, ...]
 # following reference GroupOverSample's extend order (video_transforms.py:164-177)
@@ -127,6 +161,9 @@ def sample_crop_flip(hw: np.ndarray, *, input_size: int, train: bool,
         h, w = int(hw[i, 0]), int(hw[i, 1])
         if train and version == "v1":
             crops[i] = _multiscale_crop(h, w, input_size, rng)
+            flips[i] = rng.random_sample() < 0.5
+        elif train and version == "random_sized":
+            crops[i] = _random_sized_crop(h, w, input_size, rng)
             flips[i] = rng.random_sample() < 0.5
         elif train:
             s = rng.randint(scale_range[0], scale_range[1] + 1)

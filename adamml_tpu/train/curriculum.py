@@ -303,7 +303,8 @@ class AdaMMLTrainer:
                         self.state, rng=sub, modality=self.modality,
                         adamml=True, num_segments=self.cfg.data.val_num_clips,
                         eval_capacity=self.cfg.model.eval_capacity,
-                        capacity_groups=_data_shards(self.cfg))
+                        capacity_groups=_data_shards(self.cfg),
+                        rank=self.rank)
 
     def _log_train(self, logger, epoch, total, s):
         sel = " ".join(f"{k}:{v * 100:.2f}" for k, v in s["selection"].items())
@@ -561,7 +562,8 @@ class UnimodalTrainer:
             if do_eval:
                 self.rng, sub = jax.random.split(self.rng)
                 v = validate(self.val_loader, self.val_pre, self.eval_step,
-                             self.state, rng=sub, adamml=False)
+                             self.state, rng=sub, adamml=False,
+                             rank=self.rank)
                 last = v
                 if self.plateau:
                     self.plateau.step(v["loss"])

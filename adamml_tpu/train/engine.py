@@ -19,6 +19,12 @@ from typing import Callable, List, Optional, Sequence
 import jax
 import numpy as np
 
+try:  # rank-0 progress bars (reference utils/utils.py:343-348); tqdm
+    # auto-disables on non-TTY via disable=None, so logs stay clean
+    from tqdm import tqdm
+except ImportError:  # keep the engine importable without tqdm
+    tqdm = None
+
 from ..utils.flops import flops_computation
 from ..utils.meters import AverageMeter
 from ..utils.metrics import actnet_acc
@@ -164,10 +170,15 @@ def train_epoch(loader, preprocess: Callable, step_fn: Callable, state,
         acc.clear()
         end = time.time()
 
+    bar = (tqdm(total=len(loader), disable=None if rank == 0 else True,
+                leave=False, desc=f"train {epoch}")
+           if tqdm is not None else None)
     for i, host_batch in enumerate(loader):
         data_time.update(time.time() - data_mark)
         if profiler is not None:
             profiler.step(i)
+        if bar is not None:
+            bar.update(1)
         inputs, target = preprocess(host_batch)
         if use_multi:
             acc.append((inputs, target))
@@ -194,6 +205,8 @@ def train_epoch(loader, preprocess: Callable, step_fn: Callable, state,
             break
     flush(num_batch)
     drain()
+    if bar is not None:
+        bar.close()
 
     # wall_time is the honest fully-drained per-batch time (dispatch +
     # device completion + data), unlike batch_time which measures async
@@ -210,7 +223,7 @@ def validate(loader, preprocess: Callable, eval_step: Callable, state,
              *, rng: Optional[jax.Array] = None,
              modality: Optional[Sequence[str]] = None, adamml: bool = True,
              num_segments: int = 10, eval_capacity: Optional[float] = None,
-             capacity_groups: int = 1):
+             capacity_groups: int = 1, rank: int = 0):
     """Full validation pass. Returns a summary dict including the gathered
     outputs / selections (reference validate_adamml contract,
     utils/utils.py:427-507)."""
@@ -227,9 +240,14 @@ def validate(loader, preprocess: Callable, eval_step: Callable, state,
     all_losses: List = []
     batch_sizes: List[int] = []
     end = time.time()
+    bar = (tqdm(total=len(loader), disable=None if rank == 0 else True,
+                leave=False, desc="val")
+           if tqdm is not None else None)
     for bi, host_batch in enumerate(loader):
         inputs, target = preprocess(host_batch)
         batch_sizes.append(int(target.shape[0]))
+        if bar is not None:
+            bar.update(1)
         # Fresh noise per eval batch: the reference samples new Gumbel noise
         # every forward (F.gumbel_softmax under model.eval(), reference
         # models/policy_net.py:283-290). state.step is frozen during eval,
@@ -247,6 +265,8 @@ def validate(loader, preprocess: Callable, eval_step: Callable, state,
         all_targets.append(target)
         batch_time.update(time.time() - end)
         end = time.time()
+    if bar is not None:
+        bar.close()
 
     # fetch GLOBAL matrices: logits, labels AND selections cover every rank
     # (the reference gathers all three, utils/utils.py:483-490), so accuracy,

@@ -137,6 +137,136 @@ class TestAugParams:
         for s in sizes:
             assert s in (224, 168, 192, 256)
 
+    def test_train_random_sized_in_bounds_and_distribution(self):
+        rng = np.random.RandomState(2)
+        hw = np.tile([[256, 456]], (128, 1))
+        crops, flips = sample_crop_flip(hw, input_size=224, train=True,
+                                        version="random_sized", rng=rng)
+        x, y, w, h = crops.T
+        assert (x >= 0).all() and (y >= 0).all()
+        assert (x + w <= 456 + 1e-3).all()
+        assert (y + h <= 256 + 1e-3).all()
+        # area in [0.08, 1.0] x image (rounding slack); aspect in [3/4, 4/3]
+        area_frac = (w * h) / (456.0 * 256.0)
+        assert area_frac.min() >= 0.06 and area_frac.max() <= 1.01
+        aspect = w / h
+        assert aspect.min() >= 0.7 and aspect.max() <= 1.45
+        assert 0.2 < flips.mean() < 0.8
+
+
+class _ScriptedRandom:
+    """Feeds one recorded draw sequence to BOTH the reference's global
+    `random` module and our RandomState-style sampler, so the two transforms
+    make identical decisions and their geometry can be compared exactly."""
+
+    def __init__(self, draws):
+        self.draws = list(draws)
+
+    def _pop(self):
+        return self.draws.pop(0)
+
+    # python `random` surface (reference side)
+    def uniform(self, a, b):
+        v = self._pop()
+        assert a <= v <= b, (v, a, b)
+        return v
+
+    def random(self):
+        return self._pop()
+
+    def randint(self, a, b):  # INCLUSIVE, like random.randint
+        v = self._pop()
+        assert a <= v <= b, (v, a, b)
+        return v
+
+    # np.random.RandomState surface (our side)
+    def random_sample(self):
+        return self._pop()
+
+    def np_randint(self, low, high):  # EXCLUSIVE high, like RandomState
+        v = self._pop()
+        assert low <= v < high, (v, low, high)
+        return v
+
+
+class TestRandomSizedCropGolden:
+    """Pixel-golden vs the actual reference GroupRandomSizedCrop
+    (/root/reference/utils/video_transforms.py:255-298) under scripted
+    draws."""
+
+    REFERENCE = "/root/reference"
+
+    def _reference_cls(self):
+        import sys
+        import types
+        if not os.path.isdir(self.REFERENCE):
+            pytest.skip("reference tree not mounted")
+        pytest.importorskip("torch")
+        if "torchvision" not in sys.modules:
+            # no torchvision in this image; video_transforms only touches
+            # torchvision.transforms inside classes this test never runs
+            stub = types.ModuleType("torchvision")
+            stub.transforms = types.SimpleNamespace(
+                CenterCrop=None, Resize=None, Compose=None)
+            sys.modules["torchvision"] = stub
+        sys.path.insert(0, self.REFERENCE)
+        try:
+            from utils import video_transforms as vt
+            return vt
+        finally:
+            sys.path.remove(self.REFERENCE)
+
+    def test_success_path_matches_reference_pixels(self, monkeypatch):
+        PIL_Image = pytest.importorskip("PIL.Image")
+        vt = self._reference_cls()
+        from adamml_tpu.data.aug_params import _random_sized_crop
+
+        w, h, size = 340, 256, 64
+        img = PIL_Image.fromarray(
+            (np.arange(h * w * 3).reshape(h, w, 3) % 255).astype(np.uint8))
+
+        # draws: area-frac, aspect, swap-coin (no swap), x1, y1
+        draws = [0.5, 1.2, 0.7, 31, 17]
+        scripted = _ScriptedRandom(draws)
+        monkeypatch.setattr(vt.random, "uniform", scripted.uniform)
+        monkeypatch.setattr(vt.random, "random", scripted.random)
+        monkeypatch.setattr(vt.random, "randint", scripted.randint)
+        ref_out = vt.GroupRandomSizedCrop(size)([img])[0]
+
+        ours = _ScriptedRandom(draws)
+        rs = type("RS", (), {"uniform": lambda s, a, b: ours.uniform(a, b),
+                             "random_sample": lambda s: ours.random_sample(),
+                             "randint": lambda s, lo, hi: ours.np_randint(lo, hi)})()
+        x, y, cw, ch = _random_sized_crop(h, w, size, rs)
+        our_out = img.crop((int(x), int(y), int(x + cw), int(y + ch))).resize(
+            (size, size), PIL_Image.BILINEAR)
+        np.testing.assert_array_equal(np.asarray(ref_out),
+                                      np.asarray(our_out))
+
+    def test_fallback_rect_matches_scale_then_crop(self):
+        from adamml_tpu.data.aug_params import _random_sized_crop
+
+        # elongated image: aspect-limited crops can't fit the height at high
+        # area fractions -> all 10 attempts miss -> fallback
+        w, h, size = 500, 60, 64
+        draws = []
+        for _ in range(10):
+            draws += [0.99, 4.0 / 3.0, 0.9]  # huge area, wide, no swap
+        # fallback: GroupScale(64) makes (533, 64); GroupRandomCrop draws
+        # x1 in [0, 533-64], y1 in [0, 0]
+        draws += [100, 0]
+        ours = _ScriptedRandom(draws)
+        rs = type("RS", (), {"uniform": lambda s, a, b: ours.uniform(a, b),
+                             "random_sample": lambda s: ours.random_sample(),
+                             "randint": lambda s, lo, hi: ours.np_randint(lo, hi)})()
+        x, y, cw, ch = _random_sized_crop(h, w, size, rs)
+        f = size / 60.0  # short-side scale factor
+        assert cw == pytest.approx(size / f)
+        assert ch == pytest.approx(size / f)
+        assert x == pytest.approx(100 / f)
+        assert y == pytest.approx(0.0)
+        assert x + cw <= w and y + ch <= h + 1e-6
+
 
 class TestAudio:
     def _record(self):

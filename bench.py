@@ -43,13 +43,18 @@ V5E_PEAK_TFLOPS_BF16 = 197.0
 
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
-# Attempt ladder, best-first: each entry is (batch, extra env). The order is
-# set by the measured round-4 sweep on the real chip (BENCH.md); the parent
+# Attempt ladder, best-first: each entry is (batch, extra env). Ordered by
+# the round-4 sweep on the real chip (BENCH.md): the relay's memory slice
+# VARIES across days -- round 2 fit batch 24 (128.0 clips/s), the round-4
+# window OOMed batch 24 even with stage-1 remat while 16 ran reliably at
+# ~121. Flagship-step compiles on the relay are ~15-25 min and do NOT
+# persist in the compile cache, so a first rung that fits matters more than
+# a speculative bigger batch: 16 first (measured best that always fit),
+# 24 as the fallback rung for larger slices, 8 as the floor. The parent
 # walks down on any child failure, so the record degrades instead of dying.
 CANDIDATES = [
-    (32, {"ADAMML_REMAT_STAGES": "1"}),
-    (24, {}),
     (16, {}),
+    (24, {}),
     (8, {}),
 ]
 

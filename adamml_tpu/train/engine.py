@@ -240,8 +240,9 @@ def validate(loader, preprocess: Callable, eval_step: Callable, state,
     all_losses: List = []
     batch_sizes: List[int] = []
     end = time.time()
-    bar = (tqdm(total=len(loader), disable=None if rank == 0 else True,
-                leave=False, desc="val")
+    # total=None (len-less iterable loaders) still shows a counting bar
+    bar = (tqdm(total=getattr(loader, "__len__", lambda: None)(),
+                disable=None if rank == 0 else True, leave=False, desc="val")
            if tqdm is not None else None)
     for bi, host_batch in enumerate(loader):
         inputs, target = preprocess(host_batch)

@@ -22,6 +22,12 @@ buffers, caches, and exception tracebacks cannot poison the next attempt.
 This replaces the round-3 in-process degradation ladder, whose saved
 exception traceback pinned the failed attempt's multi-GB buffers alive and
 turned one OOM into rc=1 for the whole bench (VERDICT r3 weak #1).
+
+Record semantics (round 5): the default path measures EVERY rung in
+CANDIDATES and records the max (plus a fixed-cost hardware canary for
+cross-window normalization); the FLOOR rung runs only if every candidate
+failed. Round 4's first-success ladder structurally capped the record at
+its first rung (VERDICT r4 weak #1).
 """
 
 from __future__ import annotations
@@ -43,18 +49,21 @@ V5E_PEAK_TFLOPS_BF16 = 197.0
 
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
-# Attempt ladder, best-first: each entry is (batch, extra env). Ordered by
-# the round-4 sweep on the real chip (BENCH.md): the relay's memory slice
-# VARIES across days -- round 2 fit batch 24 (128.0 clips/s), the round-4
-# window OOMed batch 24 even with stage-1 remat while 16 ran reliably at
-# ~121. Flagship-step compiles on the relay are ~15-25 min and do NOT
-# persist in the compile cache, so a first rung that fits matters more than
-# a speculative bigger batch: 16 first (measured best that always fit),
-# 24 as the fallback rung for larger slices, 8 as the floor. The parent
-# walks down on any child failure, so the record degrades instead of dying.
+# Measurement rungs (round 5, VERDICT r4 task 1): the DEFAULT path runs
+# EVERY rung and records the max, because the relay's memory slice VARIES
+# across windows -- round 2 fit batch 24 (128.0 clips/s), the round-4 window
+# OOMed batch 24 even with stage-1 remat while 16 ran reliably at ~121. The
+# round-4 first-success ladder could therefore never try 24 on a window
+# where it would win (it was only reached when 16 FAILED, i.e. on slices
+# where 24 fails too), hard-capping the record at batch-16 throughput.
+# Subprocess isolation makes the extra attempt risk-free: an OOM at 24 dies
+# with its child and the 16 record stands. FLOOR is tried only if every
+# rung fails, so a tiny slice still produces a (degraded) record.
 CANDIDATES = [
     (16, {}),
     (24, {}),
+]
+FLOOR = [
     (8, {}),
 ]
 
@@ -94,6 +103,13 @@ def measure(batch: int, steps: int, tiny: bool = False) -> dict:
 
     cfg = _flagship_cfg(tiny=tiny)
     num_segments = cfg.model.num_segments
+    # ADAMML_PHASE=main benches the main-phase step (policy frozen, main-net
+    # SGD only) instead of the default policy-phase step. The alternating
+    # curriculum stage runs one main-phase epoch per policy epoch (reference
+    # train_adamml.py:410-451), so training-run-level throughput needs both
+    # numbers; the RECORD stays the policy-phase step (most expensive: both
+    # loss terms, grads through policy AND main graphs -- conservative).
+    phase = os.environ.get("ADAMML_PHASE", "policy")
     # A/B knobs for perf experiments (BENCH.md): ADAMML_FUSED=0 forces
     # per-tensor optax updates; ADAMML_SPD=K benches the K-step scanned
     # dispatch (steps.make_adamml_multi_step)
@@ -122,9 +138,9 @@ def measure(batch: int, steps: int, tiny: bool = False) -> dict:
         params, variables.get("batch_stats", {}),
         tx_main.init(params["main_net"]), tx_policy.init(params["policy_net"]))
 
-    # benchmark the policy-phase step: it is the most expensive (both loss
-    # terms, grads through policy AND main graphs)
-    common = dict(flags=StageFlags.policy_phase(), penalty_type="blockdrop",
+    flags = (StageFlags.main_phase() if phase == "main"
+             else StageFlags.policy_phase())
+    common = dict(flags=flags, penalty_type="blockdrop",
                   gammas=10.0, clip_gradient=None, has_policy_params=True)
     target = jnp.zeros((batch,), jnp.int32)
     lr = jnp.asarray(1e-3)
@@ -169,19 +185,125 @@ def measure(batch: int, steps: int, tiny: bool = False) -> dict:
     train_flops_per_video = REF_FWD_GFLOPS * 1e9 * 3.0
     mfu = (videos_per_sec * train_flops_per_video) / (
         V5E_PEAK_TFLOPS_BF16 * 1e12)
+    metric = ("adamml_train_clips_per_sec_per_chip" if phase != "main"
+              else "adamml_train_main_phase_clips_per_sec_per_chip")
     result = {
-        "metric": "adamml_train_clips_per_sec_per_chip",
+        "metric": metric,
         "value": round(videos_per_sec, 3),
         "unit": "clips/sec/chip",
         "vs_baseline": round(videos_per_sec / BASELINE_VIDEOS_PER_SEC, 3),
+        "batch": batch,
     }
-    print(f"# batch={batch} steps={steps} spd={spd} "
+    print(f"# phase={phase} batch={batch} steps={steps} spd={spd} "
           f"dispatch_time={dt * 1000:.1f}ms "
           f"(T({small})={t_small:.2f}s T({steps})={t_large:.2f}s) "
           f"modeled-MFU~{mfu * 100:.1f}% "
           f"baseline_est={BASELINE_VIDEOS_PER_SEC:.1f} clips/s (V100 fp32 "
           f"@40% MFU on the reference's own FLOPs model)", file=sys.stderr)
     return result
+
+
+def canary_measure() -> dict:
+    """Fixed-cost hardware canary (VERDICT r4 weak #6): a bf16 matmul chain
+    (MXU rate) and an f32 elementwise chain (HBM rate), identical every
+    round, so BENCH_r0N records are normalizable across relay windows --
+    without it, "code got faster" and "slice got better" are
+    indistinguishable on the record. ~30 s including compiles (small jitted
+    fns DO persist in the compilation cache, unlike the flagship step)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    plat = os.environ.get("ADAMML_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/adamml_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    key = jax.random.PRNGKey(0)
+    # size overrides exist ONLY so tests can run the canary on CPU; the
+    # recorded canary always uses the fixed defaults
+    N = int(os.environ.get("ADAMML_CANARY_N", "2048"))
+    K = int(os.environ.get("ADAMML_CANARY_K", "32"))
+    b = jax.random.normal(key, (N, N)).astype(jnp.bfloat16)
+
+    @jax.jit
+    def mm_chain(a):
+        # K chained NxN bf16 matmuls; the renorm (O(N^2)) keeps values
+        # bounded and is negligible vs the matmul (O(N^3))
+        def body(x, _):
+            y = jnp.dot(x, b, preferred_element_type=jnp.float32)
+            return (y / (jnp.max(jnp.abs(y)) + 1e-6)).astype(jnp.bfloat16), ()
+        x, _ = jax.lax.scan(body, a, None, length=K)
+        return x
+
+    # 32M f32 = 128 MiB; per iter: 1 read + 1 write
+    M = int(os.environ.get("ADAMML_CANARY_M", str(32 * 1024 * 1024)))
+
+    @jax.jit
+    def bw_chain(x):
+        def body(x, _):
+            return x * 1.000001 + 1e-7, ()
+        x, _ = jax.lax.scan(body, x, None, length=K)
+        return x
+
+    def marginal(fn, x0, n_small=2, n_large=8):
+        x = fn(x0)
+        float(jax.device_get(x.ravel()[0]))  # compile + warm
+
+        def run(n, x):
+            t0 = _time.perf_counter()
+            for _ in range(n):
+                x = fn(x)
+            float(jax.device_get(x.ravel()[0]))  # drains the queue
+            return _time.perf_counter() - t0, x
+
+        t_small, x = run(n_small, x)
+        t_large, _ = run(n_large, x)
+        return max(1e-9, (t_large - t_small) / (n_large - n_small))
+
+    a0 = jax.random.normal(jax.random.fold_in(key, 1),
+                           (N, N)).astype(jnp.bfloat16)
+    t_mm = marginal(mm_chain, a0) / K  # sec per NxN matmul
+    t_bw = marginal(bw_chain, jnp.zeros((M,), jnp.float32)) / K
+    return {
+        "canary_matmul_tflops": round(2.0 * N ** 3 / t_mm / 1e12, 1),
+        "canary_bw_gbps": round(2.0 * M * 4 / t_bw / 1e9, 1),
+    }
+
+
+def _run_canary(timeout: int = 900) -> dict:
+    """Run the canary in its own subprocess (same isolation as measurement
+    children). Returns {} on any failure -- the canary must never cost the
+    throughput record."""
+    cmd = [sys.executable, os.path.join(_REPO_DIR, "bench.py"), "--canary"]
+    try:
+        proc = subprocess.run(cmd, cwd=_REPO_DIR, env=dict(os.environ),
+                              capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        print(f"# canary TIMEOUT after {timeout}s; omitting", file=sys.stderr)
+        return {}
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout).strip().splitlines()[-8:]
+        print(f"# canary rc={proc.returncode}; omitting. tail:",
+              file=sys.stderr)
+        for ln in tail:
+            print(f"#   {ln}", file=sys.stderr)
+        return {}
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                out = json.loads(line)
+                print(f"# canary: {out}", file=sys.stderr)
+                return out
+            except json.JSONDecodeError:
+                break
+    print("# canary produced no JSON line; omitting", file=sys.stderr)
+    return {}
 
 
 def _run_child(batch: int, steps: int, env_extra: dict,
@@ -202,14 +324,21 @@ def _run_child(batch: int, steps: int, env_extra: dict,
         print(f"# child batch={batch} TIMEOUT after {timeout}s; degrading",
               file=sys.stderr)
         return None
-    sys.stderr.write(proc.stderr[-4000:])
     if proc.returncode != 0:
+        # full stderr tail only on FAILURE (ADVICE r4): a clean run's log
+        # should not be polluted with the child's compile chatter
+        sys.stderr.write(proc.stderr[-4000:])
         tail = (proc.stderr or proc.stdout).strip().splitlines()[-15:]
         print(f"# child batch={batch} env={env_extra} rc={proc.returncode}; "
               "degrading. tail:", file=sys.stderr)
         for ln in tail:
             print(f"#   {ln}", file=sys.stderr)
         return None
+    # on success, forward only the child's intentional protocol lines
+    # (the `# phase=... dispatch_time=...` rows BENCH.md cites)
+    for ln in proc.stderr.splitlines():
+        if ln.startswith("# "):
+            print(ln, file=sys.stderr)
     for line in reversed(proc.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
@@ -246,13 +375,34 @@ def main() -> int:
         tiny = "--tiny" in argv
         print(json.dumps(measure(batch, steps, tiny=tiny)))
         return 0
+    if argv and argv[0] == "--canary":
+        print(json.dumps(canary_measure()))
+        return 0
     if argv and argv[0] == "--sweep":
-        best = run_candidates(CANDIDATES,
+        # sweep = the default record path PLUS a main-phase measurement at
+        # the winning batch, so BENCH.md can cite a curriculum-weighted
+        # clips/s (the alternating stage runs one main-phase epoch per
+        # policy epoch -- equal clip counts, so the weighted rate is the
+        # harmonic mean of the two phase rates).
+        canary = _run_canary()
+        best = run_candidates(CANDIDATES + FLOOR,
                               lambda b, e: _run_child(b, 20, e),
                               best_of_all=True)
         if best is None:
             print("# all sweep candidates failed", file=sys.stderr)
             return 1
+        main_r = _run_child(int(best.get("batch", CANDIDATES[0][0])), 20,
+                            {"ADAMML_PHASE": "main"})
+        if main_r is not None:
+            v_pol, v_main = best["value"], main_r["value"]
+            weighted = 2.0 / (1.0 / v_pol + 1.0 / v_main)
+            best["main_phase_value"] = round(v_main, 3)
+            best["curriculum_weighted_value"] = round(weighted, 3)
+            print(f"# main-phase {v_main:.1f} clips/s, policy-phase "
+                  f"{v_pol:.1f} clips/s -> curriculum-weighted "
+                  f"{weighted:.1f} clips/s (alternating 1:1 epoch mix)",
+                  file=sys.stderr)
+        best.update(canary)
         print(json.dumps(best))
         return 0
     if argv:
@@ -264,12 +414,19 @@ def main() -> int:
             return 1
         print(json.dumps(r))
         return 0
-    # Default: walk the measured-best ladder; first success is the record.
-    r = run_candidates(CANDIDATES, lambda b, e: _run_child(b, 20, e))
+    # Default (the exact command the driver runs): canary, then EVERY rung,
+    # max wins (VERDICT r4 task 1 -- first-success could never beat its
+    # first rung); FLOOR only if every rung's child failed.
+    canary = _run_canary()
+    r = run_candidates(CANDIDATES, lambda b, e: _run_child(b, 20, e),
+                       best_of_all=True)
+    if r is None:
+        r = run_candidates(FLOOR, lambda b, e: _run_child(b, 20, e))
     if r is None:
         print("# every candidate failed -- no throughput record",
               file=sys.stderr)
         return 1
+    r.update(canary)
     print(json.dumps(r))
     return 0
 

@@ -75,6 +75,12 @@ class ModelConfig:
     # modality the main net actually executes (None/1.0 = reference
     # behavior: everything runs, savings are only modeled)
     eval_capacity: Optional[float] = None
+    # packing-group count for eval_capacity (None = one group per data
+    # shard). Per-shard packing has no global slack-sharing, so the
+    # executed row set -- and hence eval accuracy under eval_capacity --
+    # depends on the mesh topology; pin this to a fixed value to make
+    # capacity-eval numbers comparable across device counts (ADVICE r4).
+    capacity_groups: Optional[int] = None
     # opt-in Pallas fused depthwise conv in the MobileNetV2 trunks
     use_pallas_dw: bool = False
     # fused Pallas stage-boundary bn-apply+add+relu+temporal-pool (default
@@ -240,6 +246,10 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--gammas", default=10.0, type=float)
     p.add_argument("--penalty_type", default="blockdrop", choices=["mean", "blockdrop"])
     p.add_argument("--eval_capacity", default=None, type=float)
+    p.add_argument("--capacity_groups", default=None, type=int,
+                   help="pin the eval_capacity packing-group count (default:"
+                        " one group per data shard; pinning makes capacity-"
+                        "eval numbers mesh-independent)")
     p.add_argument("--use_pallas_dw", action="store_true")
     p.add_argument("--no_fused_tpool", action="store_true",
                    help="disable the fused Pallas temporal-pool kernel")
@@ -418,6 +428,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         gammas=args.gammas, penalty_type=args.penalty_type,
         modality=list(args.modality), num_classes=meta.num_classes,
         eval_capacity=args.eval_capacity,
+        capacity_groups=args.capacity_groups,
         use_pallas_dw=args.use_pallas_dw,
         fused_tpool=not args.no_fused_tpool,
         remat_backbone=args.remat_backbone,

@@ -55,6 +55,17 @@ def _multiscale_crop(h: int, w: int, input_size: int,
     return float(ox), float(oy), float(cw), float(ch)
 
 
+def _scaled_wh(h: int, w: int, size: int) -> Tuple[int, int]:
+    """(sw, sh) after a short-side resize to `size` with torchvision
+    semantics: the long side is int(size * long / short) -- TRUNCATED, not
+    rounded (reference GroupScale delegates to torchvision.transforms.Resize,
+    video_transforms.py:87-100; e.g. 340x256 -> 224 gives 297, and a
+    round() here would shift the crop-offset range by one pixel)."""
+    if h <= w:
+        return int(size * w / h), size
+    return size, int(size * h / w)
+
+
 def _random_sized_crop(h: int, w: int, input_size: int,
                        rng: np.random.RandomState
                        ) -> Tuple[float, float, float, float]:
@@ -82,7 +93,7 @@ def _random_sized_crop(h: int, w: int, input_size: int,
     # fallback: GroupScale(input) + GroupRandomCrop(input), expressed in
     # source coordinates for the fused device crop-resize
     f = input_size / min(h, w)
-    sw, sh = int(round(w * f)), int(round(h * f))
+    sw, sh = _scaled_wh(h, w, input_size)
     crop_src = input_size / f
     x1 = rng.randint(0, max(sw - input_size, 0) + 1) / f
     y1 = rng.randint(0, max(sh - input_size, 0) + 1) / f
@@ -118,7 +129,7 @@ def oversample_crop_flip(hw: np.ndarray, *, input_size: int, num_crops: int,
         scaled = (input_size if disable_scaleup
                   else int(input_size / 0.875 + 0.5))
         f = scaled / min(h, w)
-        sw, sh = int(round(w * f)), int(round(h * f))  # scaled dims
+        sw, sh = _scaled_wh(h, w, scaled)  # scaled dims, Resize truncation
         crop_src = input_size / f
         if num_crops == 3:
             w_step = (sw - input_size) // 4

@@ -40,6 +40,23 @@ def _data_shards(cfg: ExperimentConfig) -> int:
     return data
 
 
+def _capacity_groups(cfg: ExperimentConfig) -> int:
+    """Packing-group count for eval_capacity. Defaults to one group per
+    data shard (each shard packs its local rows -- no cross-shard gather).
+    Per-shard packing has no global slack-sharing, so the executed row set
+    depends on the mesh; --capacity_groups pins it to a fixed value so
+    capacity-eval accuracy is reproducible across device counts (ADVICE
+    r4). The engine's capacity-drop accounting MUST use this same resolver
+    (train/engine.py validate)."""
+    if cfg.model.capacity_groups is not None:
+        if cfg.model.capacity_groups < 1:
+            raise ValueError(
+                f"--capacity_groups must be >= 1, got "
+                f"{cfg.model.capacity_groups}")
+        return cfg.model.capacity_groups
+    return _data_shards(cfg)
+
+
 def _bn_groups(cfg: ExperimentConfig) -> int:
     """Moment scope for GroupedBatchNorm (models/norm.py). The reference's
     DEFAULT is per-replica BN; SyncBN is opt-in via --sync-bn (reference
@@ -63,7 +80,7 @@ def build_model(cfg: ExperimentConfig) -> Tuple[object, str]:
             rng_threshold=m.rng_threshold,
             policy_input_size=m.policy_input_size,
             eval_capacity=m.eval_capacity,
-            capacity_groups=_data_shards(cfg),
+            capacity_groups=_capacity_groups(cfg),
             use_pallas_dw=m.use_pallas_dw,
             remat=m.remat_backbone, remat_stages=tuple(m.remat_stages),
             remat_policy=m.remat_policy,

@@ -30,7 +30,8 @@ from ..data.device_pipeline import (make_batch_preprocessor,
 from ..data.synthetic import SyntheticVideoDataset
 from ..data.video_dataset import MultiVideoDataset
 from ..models.adamml import INIT_TEMPERATURE, TEMPERATURE_DECAY
-from ..models.model_builder import (_data_shards, build_model, example_inputs,
+from ..models.model_builder import (_capacity_groups, _data_shards,
+                                    build_model, example_inputs,
                                     init_model)
 from ..parallel.mesh import make_mesh, place_on_mesh, shard_batch
 from ..utils.logging import RankZeroLogger
@@ -275,7 +276,13 @@ class AdaMMLTrainer:
 
     # -- phases ------------------------------------------------------------
 
-    def _train_one(self, step_fn, epoch: int, cost_weights, logger):
+    def _train_one(self, step_fn, epoch: int, cost_weights, logger,
+                   lr_epoch: Optional[int] = None):
+        """lr_epoch overrides the epoch index the LR schedule sees: the
+        warmup stage passes 0 because the reference never steps its
+        schedulers during warmup (train_adamml.py:340-395 contains no
+        scheduler.step), so warmup always runs at the base LR even when a
+        multisteps milestone falls inside the warmup window."""
         self.rng, sub = jax.random.split(self.rng)
         profiler = None
         if self.cfg.runtime.profile_dir and epoch == 0:
@@ -284,10 +291,11 @@ class AdaMMLTrainer:
             profiler = StepProfiler(self.cfg.runtime.profile_dir)
         multi_fn = (self.multi_main if step_fn is self.step_main
                     else self.multi_policy)
+        sched_epoch = epoch if lr_epoch is None else lr_epoch
         self.state, summary = train_epoch(
             self.train_loader, self.train_pre, step_fn, self.state,
-            lr=self._lr(epoch, self.cfg.optim.lr, self.plateau),
-            p_lr=self._lr(epoch, self.cfg.optim.p_lr, self.p_plateau),
+            lr=self._lr(sched_epoch, self.cfg.optim.lr, self.plateau),
+            p_lr=self._lr(sched_epoch, self.cfg.optim.p_lr, self.p_plateau),
             cost_weights=cost_weights, rng=sub, epoch=epoch,
             modality=self.modality, adamml=True,
             display=self.cfg.runtime.print_freq, rank=self.rank,
@@ -303,7 +311,7 @@ class AdaMMLTrainer:
                         self.state, rng=sub, modality=self.modality,
                         adamml=True, num_segments=self.cfg.data.val_num_clips,
                         eval_capacity=self.cfg.model.eval_capacity,
-                        capacity_groups=_data_shards(self.cfg),
+                        capacity_groups=_capacity_groups(self.cfg),
                         rank=self.rank)
 
     def _log_train(self, logger, epoch, total, s):
@@ -379,7 +387,8 @@ class AdaMMLTrainer:
             logger.log(f"Stage [Warming up]: Main network with "
                        f"{cfg.optim.warmup_epochs} epochs")
             for epoch in range(self.start_epoch, cfg.optim.warmup_epochs):
-                s = self._train_one(self.step_main, epoch, zeros, logger)
+                s = self._train_one(self.step_main, epoch, zeros, logger,
+                                    lr_epoch=0)
                 self._log_train(logger, epoch, cfg.optim.warmup_epochs, s)
                 self.save(epoch + 1, "warmup", "_warmup")
             self.curr_stage = "alternative_training"
@@ -387,6 +396,21 @@ class AdaMMLTrainer:
             self._reset_optimizers()
 
         if self.curr_stage == "alternative_training":
+            # LR semantics: the schedule is applied LIVE per epoch
+            # (schedulers.lr_at_epoch closed form == torch's explicit-epoch
+            # scheduler.step(epoch+1), reference train_adamml.py:460-465).
+            # Note a reference defect we fix rather than replicate: its
+            # schedulers are created once over the ORIGINAL optimizer
+            # objects (train_adamml.py:259-270) while both stage boundaries
+            # REBIND optimizer/p_optimizer to fresh objects
+            # (train_adamml.py:387-395, 519-528), so in a fresh reference
+            # run scheduler.step mutates the discarded optimizers and the
+            # live LR never decays. Its checkpoints save scheduler state and
+            # its resume path re-binds everything consistently, so live
+            # decay is the documented intent; tests/test_parity_training.py
+            # ::TestFullCurriculumParity pins our trajectory against torch
+            # with the schedulers rebound the way the reference's own
+            # resume produces.
             logger.log(f"Stage [Alternative training]: {cfg.optim.epochs} "
                        f"epochs")
             for epoch in range(self.start_epoch, cfg.optim.epochs):

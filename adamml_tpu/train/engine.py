@@ -282,11 +282,16 @@ def validate(loader, preprocess: Callable, eval_step: Callable, state,
     if (adamml and eval_capacity is not None and eval_capacity < 1.0
             and all_selections):
         # real-conditional-compute packing silently zeroes over-capacity
-        # selections; count them with EXACTLY the executed row sets: the
-        # model packs per data shard (models/joint_net.py capacity_groups)
-        # over contiguous clip-major row blocks INCLUDING padded tail rows,
-        # so this accounting runs on the raw pre-mask selections with the
-        # same per-shard blocks and the same capacity formula.
+        # selections; count them with the executed row sets: the model packs
+        # per data shard (models/joint_net.py capacity_groups) over
+        # contiguous clip-major row blocks INCLUDING padded tail rows, so
+        # this accounting runs on the raw pre-mask selections with the same
+        # per-shard blocks and the same capacity formula. EXACT for
+        # num_crops == 1 (the stored selections are the executed rows);
+        # under multi-crop oversample eval the model packed n*num_crops*S
+        # crop-folded rows while only the canonical crop's selections are
+        # stored, so the count is the canonical crop's approximation
+        # (ADVICE r4).
         dropped = np.zeros((len(modality),), np.int64)
         for dec in all_selections:               # raw (n, S, M) per batch
             rows = dec.shape[0] * dec.shape[1]

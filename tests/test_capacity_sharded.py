@@ -136,3 +136,45 @@ def test_no_allgather_of_backbone_inputs():
     ref = model.apply(v, [rgb], dec, train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+class TestCapacityGroupsOverride:
+    """--capacity_groups pins the packing-group count so capacity-eval row
+    sets (and accuracy) are reproducible across mesh topologies (ADVICE r4:
+    the per-data-shard default makes them topology-dependent)."""
+
+    def test_default_is_data_shards(self):
+        from adamml_tpu.configs.config import ExperimentConfig
+        from adamml_tpu.models.model_builder import (_capacity_groups,
+                                                     _data_shards)
+
+        cfg = ExperimentConfig()
+        assert _capacity_groups(cfg) == _data_shards(cfg)
+
+    def test_override_pins_groups(self):
+        from adamml_tpu.configs.config import ExperimentConfig
+        from adamml_tpu.models.model_builder import _capacity_groups
+
+        cfg = ExperimentConfig()
+        cfg.model.capacity_groups = 2
+        assert _capacity_groups(cfg) == 2
+
+    def test_invalid_override_rejected(self):
+        import pytest
+
+        from adamml_tpu.configs.config import ExperimentConfig
+        from adamml_tpu.models.model_builder import _capacity_groups
+
+        cfg = ExperimentConfig()
+        cfg.model.capacity_groups = 0
+        with pytest.raises(ValueError):
+            _capacity_groups(cfg)
+
+    def test_cli_flag_parses(self):
+        from adamml_tpu.configs.config import arg_parser, config_from_args
+
+        args = arg_parser().parse_args(
+            ["--dataset", "synthetic", "--modality", "rgb",
+             "--capacity_groups", "4"])
+        cfg = config_from_args(args)
+        assert cfg.model.capacity_groups == 4

@@ -412,3 +412,210 @@ class TestCurriculumTransitionParity:
         ref_traj, ours_traj, _, _ = curriculum
         for traj in (ref_traj, ours_traj):
             assert traj[-1]["cls"] < traj[0]["cls"] * 0.9
+
+
+# ---------------------------------------------------------------------------
+# Full-curriculum parity (VERDICT r4 next item 6): warmup -> alternating ->
+# finetune, pinning BOTH optimizer re-init boundaries (reference
+# train_adamml.py:387-395 and 519-528) plus the multistep LR-scheduler epoch
+# step inside the alternating loop (train_adamml.py:460-465).
+#
+# Scheduler semantics being pinned: warmup never steps the schedulers (the
+# warmup stage, train_adamml.py:340-395, contains no scheduler.step), so it
+# runs at the base LR; alternating/finetune step with an EXPLICIT epoch
+# (scheduler.step(epoch+1)), which for MultiStepLR is the closed form
+# base * 0.1^bisect_right(milestones, epoch) -- exactly our
+# schedulers.lr_at_epoch. The torch side below REBINDS fresh MultiStepLR
+# instances to the fresh optimizers at each boundary: that is what the
+# reference's own resume path produces (it saves/loads scheduler state and
+# rebuilds everything over live optimizers, train_adamml.py:259-302). In a
+# FRESH reference run the once-created schedulers keep mutating the
+# discarded pre-boundary optimizers, so the live LR never decays -- a
+# reference defect we fix rather than replicate (see curriculum.py's run()
+# comment).
+# ---------------------------------------------------------------------------
+
+WU_STEPS = 2        # warmup main-only steps (base LR, schedulers untouched)
+FC_ALT_PAIRS = 4    # alternating (main, policy) pairs
+FC_FT_STEPS = 3     # finetune main-only steps after the second re-init
+MILESTONES = [2]    # LR drops x0.1 at epoch 2 of alternating AND finetune
+
+
+def _run_reference_full(ref, ref_in, target_np):
+    ref.policy_net.wrapper_gumbel_softmax = _st_argmax_torch_live(
+        ref.policy_net)
+    target = torch.from_numpy(target_np)
+
+    def fresh():
+        opt = torch.optim.SGD(ref.main_net.parameters(), LR, momentum=0.9,
+                              weight_decay=WD, nesterov=False)
+        p_opt = torch.optim.Adam(ref.policy_net.parameters(), P_LR,
+                                 weight_decay=WD)
+        return (opt, p_opt,
+                torch.optim.lr_scheduler.MultiStepLR(opt, MILESTONES,
+                                                     gamma=0.1),
+                torch.optim.lr_scheduler.MultiStepLR(p_opt, MILESTONES,
+                                                     gamma=0.1))
+
+    traj, lrs = [], []
+    opt, p_opt, _, _ = fresh()
+    for _ in range(WU_STEPS):  # warmup: no scheduler.step anywhere
+        lrs.append(opt.param_groups[0]["lr"])
+        traj.append(_torch_phase_step(ref, ref_in, target, opt, p_opt,
+                                      "main", [0.0, 0.0]))
+    # warmup -> alternating boundary (reference train_adamml.py:387-395)
+    opt, p_opt, sched, p_sched = fresh()
+    for epoch in range(FC_ALT_PAIRS):
+        lrs.append(opt.param_groups[0]["lr"])
+        traj.append(_torch_phase_step(ref, ref_in, target, opt, p_opt,
+                                      "main", [0.0, 0.0]))
+        traj.append(_torch_phase_step(ref, ref_in, target, opt, p_opt,
+                                      "policy", COST))
+        ref.decay_temperature()          # train_adamml.py:516
+        sched.step(epoch + 1)            # train_adamml.py:464-465
+        p_sched.step(epoch + 1)
+    # alternating -> finetune boundary (reference train_adamml.py:519-528)
+    opt, p_opt, sched, p_sched = fresh()
+    for epoch in range(FC_FT_STEPS):
+        lrs.append(opt.param_groups[0]["lr"])
+        traj.append(_torch_phase_step(ref, ref_in, target, opt, p_opt,
+                                      "main", [0.0, 0.0]))
+        sched.step(epoch + 1)            # train_adamml.py:576-577
+        p_sched.step(epoch + 1)
+    return traj, lrs, float(ref.policy_net.temperature)
+
+
+def _run_ours_full(params, stats, ours_in, target_np, monkeypatch):
+    from adamml_tpu.models import policy_net as our_pnet
+    from adamml_tpu.models.adamml import AdaMML
+    from adamml_tpu.train.optim import FusedSGD, adam_transform
+    from adamml_tpu.train.schedulers import lr_at_epoch
+    from adamml_tpu.train.steps import make_adamml_train_step
+    from adamml_tpu.train.train_state import AdaMMLTrainState, StageFlags
+
+    monkeypatch.setattr(our_pnet, "gumbel_decision", _st_argmax_jax)
+    model = AdaMML(modality=tuple(MODALITY), num_classes=K, depth=18,
+                   dropout=0.0, fusion_point="logits",
+                   learnable_lf_weights=True, causality_modeling="lstm",
+                   policy_input_size=160, dtype=jnp.float32)
+    tx_main = FusedSGD(momentum=0.9, nesterov=False, weight_decay=WD)
+    tx_policy = adam_transform(weight_decay=WD)
+    state = AdaMMLTrainState.create(
+        params, stats, tx_main.init(params["main_net"]),
+        tx_policy.init(params["policy_net"]), temperature=TAU)
+    common = dict(penalty_type="blockdrop", gammas=10.0, clip_gradient=None,
+                  has_policy_params=True)
+    step_main = make_adamml_train_step(model, tx_main, tx_policy,
+                                       flags=StageFlags.main_phase(),
+                                       **common)
+    step_policy = make_adamml_train_step(model, tx_main, tx_policy,
+                                         flags=StageFlags.policy_phase(),
+                                         **common)
+    target = jnp.asarray(target_np)
+    zeros, cost = jnp.zeros((2,)), jnp.asarray(COST)
+    rng = jax.random.PRNGKey(0)  # unused: decisions are deterministic
+    traj, lrs = [], []
+
+    def run(fn, phase, cw, lr, p_lr):
+        nonlocal state
+        state, m = fn(state, ours_in, target, jnp.asarray(lr),
+                      jnp.asarray(p_lr), cw, rng)
+        traj.append({"phase": phase, "cls": float(m["cls_loss"]),
+                     "policy": float(m["policy_loss"]),
+                     "correct": float(m["top1"]) / 100.0,
+                     "sel": np.asarray(m["selection"])})
+
+    def lr_of(epoch, base):
+        return lr_at_epoch("multisteps", base, epoch, MILESTONES, 100)
+
+    def reset_opts():
+        nonlocal state
+        state = state.replace(
+            main_opt=tx_main.init(state.params["main_net"]),
+            policy_opt=tx_policy.init(state.params["policy_net"]))
+
+    for _ in range(WU_STEPS):  # warmup at base LR (curriculum lr_epoch=0)
+        lrs.append(LR)
+        run(step_main, "main", zeros, LR, P_LR)
+    reset_opts()               # warmup -> alternating
+    for epoch in range(FC_ALT_PAIRS):
+        lrs.append(lr_of(epoch, LR))
+        run(step_main, "main", zeros, lr_of(epoch, LR), lr_of(epoch, P_LR))
+        run(step_policy, "policy", cost, lr_of(epoch, LR),
+            lr_of(epoch, P_LR))
+        state = state.replace(temperature=state.temperature * DECAY)
+    reset_opts()               # alternating -> finetune
+    for epoch in range(FC_FT_STEPS):
+        lrs.append(lr_of(epoch, LR))
+        run(step_main, "main", zeros, lr_of(epoch, LR), lr_of(epoch, P_LR))
+    return traj, lrs, float(state.temperature)
+
+
+class TestFullCurriculumParity:
+    @pytest.fixture(scope="class")
+    def full(self):
+        ref = _build_reference()
+        for mod in ref.modules():
+            if isinstance(mod, torch.nn.Dropout):
+                mod.p = 0.0
+        params, stats = _convert_full(ref)
+        rng = np.random.RandomState(7)
+        ours_in, ref_in = _make_inputs(rng)
+        target_np = rng.randint(0, K, size=(N,)).astype(np.int64)
+        ref_traj, ref_lrs, ref_temp = _run_reference_full(ref, ref_in,
+                                                          target_np)
+        with pytest.MonkeyPatch.context() as mp:
+            ours_traj, ours_lrs, ours_temp = _run_ours_full(
+                params, stats, ours_in, target_np, mp)
+        return ref_traj, ours_traj, ref_lrs, ours_lrs, ref_temp, ours_temp
+
+    def test_lr_schedules_identical_and_decay(self, full):
+        """Our closed-form lr_at_epoch must equal torch's live MultiStepLR
+        at every step, and the milestone must actually fire mid-run (the
+        scheduler interaction must not be vacuously constant)."""
+        _, _, ref_lrs, ours_lrs, _, _ = full
+        np.testing.assert_allclose(ours_lrs, ref_lrs, rtol=1e-9)
+        alt = ref_lrs[WU_STEPS:WU_STEPS + FC_ALT_PAIRS]
+        assert alt[MILESTONES[0]] == pytest.approx(0.1 * alt[0])
+        ft = ref_lrs[WU_STEPS + FC_ALT_PAIRS:]
+        assert ft[0] == pytest.approx(LR)  # re-init restarts the schedule
+        assert ft[MILESTONES[0]] == pytest.approx(0.1 * LR)
+
+    def test_temperature_parity(self, full):
+        *_, ref_temp, ours_temp = full
+        expect = TAU * DECAY ** FC_ALT_PAIRS
+        np.testing.assert_allclose(ref_temp, expect, rtol=1e-6)
+        np.testing.assert_allclose(ours_temp, expect, rtol=1e-5)
+
+    def test_trajectories_track_through_both_boundaries(self, full):
+        ref_traj, ours_traj, *_ = full
+        assert (len(ref_traj) == len(ours_traj)
+                == WU_STEPS + 2 * FC_ALT_PAIRS + FC_FT_STEPS)
+        for t, (r, o) in enumerate(zip(ref_traj, ours_traj)):
+            assert r["phase"] == o["phase"]
+            rtol = 0.05 + 0.005 * t
+            atol = 0.02 + 0.002 * t
+            np.testing.assert_allclose(
+                o["cls"], r["cls"], rtol=rtol, atol=atol,
+                err_msg=f"cls loss diverged at step {t} ({r['phase']})")
+            o_norm = (o["policy"] - 10.0 * (1.0 - o["correct"])) / max(
+                o["correct"], 1e-6)
+            r_norm = (r["policy"] - 10.0 * (1.0 - r["correct"])) / max(
+                r["correct"], 1e-6)
+            np.testing.assert_allclose(
+                o_norm, r_norm, rtol=rtol, atol=atol,
+                err_msg=f"policy cost term diverged at step {t}")
+            assert abs(o["correct"] - r["correct"]) <= 1.0 / N + 1e-6, \
+                f"top-1 correctness diverged by >1 sample at step {t}"
+
+    def test_selection_rates_track(self, full):
+        ref_traj, ours_traj, *_ = full
+        for t, (r, o) in enumerate(zip(ref_traj, ours_traj)):
+            np.testing.assert_allclose(
+                o["sel"], r["sel"], atol=0.15,
+                err_msg=f"selection rates diverged at step {t}")
+
+    def test_both_sides_trained(self, full):
+        ref_traj, ours_traj, *_ = full
+        for traj in (ref_traj, ours_traj):
+            assert traj[-1]["cls"] < traj[0]["cls"] * 0.9

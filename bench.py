@@ -104,11 +104,14 @@ def measure(batch: int, steps: int, tiny: bool = False) -> dict:
     cfg = _flagship_cfg(tiny=tiny)
     num_segments = cfg.model.num_segments
     # ADAMML_PHASE=main benches the main-phase step (policy frozen, main-net
-    # SGD only) instead of the default policy-phase step. The alternating
+    # SGD) instead of the default policy-phase step. The alternating
     # curriculum stage runs one main-phase epoch per policy epoch (reference
     # train_adamml.py:410-451), so training-run-level throughput needs both
-    # numbers; the RECORD stays the policy-phase step (most expensive: both
-    # loss terms, grads through policy AND main graphs -- conservative).
+    # numbers. Measured round 5 (BENCH.md): the MAIN phase is the expensive
+    # one (235 ms vs 131.5 ms at batch 16 -- it computes every conv weight
+    # gradient + the SGD update, while the policy phase's frozen-main filter
+    # grads are DCE'd). The RECORD metric stays the policy-phase step for
+    # cross-round comparability (it has been the metric since round 1).
     phase = os.environ.get("ADAMML_PHASE", "policy")
     # A/B knobs for perf experiments (BENCH.md): ADAMML_FUSED=0 forces
     # per-tensor optax updates; ADAMML_SPD=K benches the K-step scanned

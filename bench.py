@@ -59,11 +59,19 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # Subprocess isolation makes the extra attempt risk-free: an OOM at 24 dies
 # with its child and the 16 record stands. FLOOR is tried only if every
 # rung fails, so a tiny slice still produces a (degraded) record.
+# Round-5 same-window A/B (BENCH.md): at batch 16 the policy-trunk remat
+# recompute costs 13.8 ms/step (131.5 -> 117.7 ms, 121.7 -> 135.9 clips/s)
+# and the memory it frees is not needed at this batch, so the 16 rung runs
+# with ADAMML_NO_REMAT_POLICY=1. The 24 rung keeps remat ON -- it is the
+# memory-starved rung (OOMs on r4/r5-sized slices even WITH remat; fits on
+# r2-sized ones). FLOOR walks first-success: 16-with-remat (the proven-safe
+# config if no-remat OOMs on a smaller slice), then 8.
 CANDIDATES = [
-    (16, {}),
+    (16, {"ADAMML_NO_REMAT_POLICY": "1"}),
     (24, {}),
 ]
 FLOOR = [
+    (16, {}),
     (8, {}),
 ]
 
@@ -125,6 +133,8 @@ def measure(batch: int, steps: int, tiny: bool = False) -> dict:
             int(s) for s in os.environ["ADAMML_REMAT_STAGES"].split(","))
     if os.environ.get("ADAMML_NO_REMAT_POLICY") == "1":
         cfg.model.remat_policy = False
+    if os.environ.get("ADAMML_REMAT_POLICY") == "1":
+        cfg.model.remat_policy = True
     if os.environ.get("ADAMML_NO_FUSED_TPOOL") == "1":
         cfg.model.fused_tpool = False
     spd = int(os.environ.get("ADAMML_SPD", "1"))

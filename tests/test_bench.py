@@ -111,13 +111,14 @@ def test_default_path_takes_max_over_rungs(monkeypatch, capsys):
 
 
 def test_default_path_falls_to_floor(monkeypatch, capsys):
-    """FLOOR (batch 8) runs only when every candidate rung's child failed,
-    so a tiny slice still produces a degraded record instead of rc=1."""
+    """FLOOR runs only when every candidate rung's child failed, walking
+    first-success (16-with-remat, then 8), so a tiny slice still produces
+    a degraded record instead of rc=1."""
     bench = _load_bench()
     calls = []
 
     def fake_child(batch, steps, env_extra, tiny=False, timeout=3600):
-        calls.append(batch)
+        calls.append((batch, dict(env_extra)))
         return ({"metric": "m", "value": 60.0, "batch": batch}
                 if batch == 8 else None)
 
@@ -126,7 +127,10 @@ def test_default_path_falls_to_floor(monkeypatch, capsys):
     monkeypatch.setattr(sys, "argv", ["bench.py"])
     assert bench.main() == 0
     r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert sorted(calls) == [8, 16, 24]
+    # both candidates tried, then the floor walks 16-with-remat before 8
+    assert [c[0] for c in calls] == [16, 24, 16, 8]
+    assert calls[0][1] == {"ADAMML_NO_REMAT_POLICY": "1"}  # measured-best
+    assert calls[2][1] == {}  # floor's 16 rung is the proven-safe config
     assert r["value"] == 60.0
 
 

@@ -70,6 +70,16 @@ def main() -> int:
     print(f"# lowered (batch={batch} fused_tpool={fused_tpool}); compiling...",
           flush=True)
     compiled = lowered.compile()
+    # optimized-HLO dump via the PJRT client API (works even when the relay
+    # compiles server-side and --xla_dump_to never touches this filesystem)
+    hlo_out = os.environ.get("ADAMML_HLO_OUT")
+    if hlo_out:
+        try:
+            with open(hlo_out, "w") as f:
+                f.write(compiled.as_text())
+            print(f"# optimized HLO written to {hlo_out}", flush=True)
+        except Exception as e:  # keep the memory numbers even if HLO fails
+            print(f"# HLO dump failed: {e!r}", flush=True)
     ma = compiled.memory_analysis()
     if ma is None:
         print("memory_analysis unavailable on this backend")

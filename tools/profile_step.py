@@ -32,6 +32,13 @@ def main() -> int:
     from adamml_tpu.train.train_state import AdaMMLTrainState, StageFlags
 
     cfg = _flagship_cfg()
+    # honor bench.py's A/B env knobs so the profile can target the exact
+    # record config (e.g. the 16 rung runs ADAMML_NO_REMAT_POLICY=1)
+    import os
+    if os.environ.get("ADAMML_NO_FUSED_TPOOL") == "1":
+        cfg.model.fused_tpool = False
+    if os.environ.get("ADAMML_NO_REMAT_POLICY") == "1":
+        cfg.model.remat_policy = False
     model, _ = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     inputs = example_inputs(cfg, batch=batch, num_segments=5, rng=rng)

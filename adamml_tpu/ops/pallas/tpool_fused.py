@@ -186,6 +186,9 @@ def _pallas_bwd(y, ident, a, b, ct, *, interpret: bool = False):
         # the Mosaic custom call (on a single-device jit the op inlines to
         # the direct call below)
         dpre, dab = _bwd_op(y, ident, a, b, ct)
+    elif _hwnfc_ok(y, a):
+        dpre, dab = _bwd_hwnfc(y, ident, a, b, ct,
+                               interpret=interpret or _interp())
     else:
         dpre, dab = _bwd_core(y, ident, a, b, ct,
                               interpret=interpret or _interp())
@@ -227,6 +230,190 @@ def _pallas_fwd(y, ident, a, b, *, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((n, fo, h, w, c), y.dtype),
         interpret=interpret,
     )(y, ident, a.reshape(r * s, 1, c), b.reshape(r * s, 1, c))
+
+
+# --------------------------------------------------------------------------
+# Layout-native (HWNFC) variant -- round-5 copy elimination.
+#
+# Measured (BENCH.md round 5, HLO dump of the record program): XLA:TPU gives
+# the stage-boundary conv outputs a batch-in-sublanes layout
+# bf16[N*F,H,W,C]{3,0,2,1}, i.e. physically [H][W][N*F][C], while a
+# pallas_call constrains its operands to row-major on the logical
+# (N,F,H,W,C) view. Layout assignment reconciles the two with full-tensor
+# relayout copies -- 6 copies of the 514 MB stage-1 operands/results per
+# step (fwd y+ident, bwd y+ident, fwd out, bwd ct), ~6+ ms/step of pure
+# copy traffic at batch 16.
+#
+# Fix: run the kernel on the logical view (H, W, N, F, C), whose row-major
+# byte order IS the conv's native [H][W][N*F][C] layout -- the transposes
+# into/out of the kernel are then byte-identical reinterpretations that XLA
+# lowers as bitcasts instead of copies (worst case it still copies and we
+# are no worse off). Blocks stream contiguous (1, wb, N, F, C) slabs; the
+# grouped-BN affine is pre-gathered to per-row (N, 1, C) outside the kernel
+# (tiny) so the block math is a pure broadcast. Byte identity needs whole
+# sublane tiles, so the variant applies only when F % 8 == 0 (stage 1's
+# F=8; stages 2-3 keep the 5D kernel) and C % 128 == 0, on single-device
+# jit (the GSPMD op keeps the 5D interface).
+# --------------------------------------------------------------------------
+
+
+def _hwnfc_ok(y, a) -> bool:
+    n, f, h, w, c = y.shape
+    if os.environ.get("ADAMML_NO_TPOOL_HWNFC") == "1":
+        return False
+    # n*f*c is the wb=1 block size; it must fit the backward VMEM budget
+    return (jax.device_count() == 1 and f % 8 == 0 and c % 128 == 0
+            and n * f * c <= 230_000)
+
+
+def _block_w(w: int, per_w_elems: int, budget: int) -> int:
+    """Largest divisor of w whose block stays under the VMEM budget."""
+    best = 1
+    for wb in range(1, w + 1):
+        if w % wb == 0 and wb * per_w_elems <= budget:
+            best = wb
+    return best
+
+
+def _row_affine(a, n: int):
+    """(R, S, C) grouped affine -> per-row (N, 1, C): row i belongs to
+    replica i // (N/R) and segment i % S (clip-major rows). Tiny gather,
+    done OUTSIDE the kernel so the block math is a plain broadcast."""
+    r, s, c = a.shape
+    rows_per_rep = n // r
+    i = jnp.arange(n)
+    idx = (i // rows_per_rep) * s + i % s
+    return a.reshape(r * s, c)[idx][:, None, :]
+
+
+def _to_hwnfc(t):
+    """(N, F, H, W, C) -> (H, W, N, F, C): byte-identical to the conv's
+    native [H][W][N*F][C] layout, so XLA lowers it as a bitcast."""
+    return jnp.transpose(t, (2, 3, 0, 1, 4))
+
+
+def _from_hwnfc(t):
+    return jnp.transpose(t, (2, 3, 0, 1, 4))
+
+
+def _kernel_hwnfc(y_ref, id_ref, a_ref, b_ref, o_ref, *, f_in):
+    # blocks: y/id (1, wb, N, F, C), o (1, wb, N, Fo, C); a/b (N, 1, C)
+    a = a_ref[...][None, None]  # (1, 1, N, 1, C)
+    b = b_ref[...][None, None]
+    z = y_ref[...].astype(jnp.float32) * a + b
+    z = jnp.maximum(z + id_ref[...].astype(jnp.float32), 0.0)
+    outs = []
+    for fo in range(_out_frames(f_in)):
+        lo, hi = max(0, 2 * fo - 1), min(f_in, 2 * fo + 2)
+        outs.append(jnp.max(z[..., lo:hi, :], axis=3, keepdims=True))
+    o_ref[...] = jnp.concatenate(outs, axis=3).astype(o_ref.dtype)
+
+
+def _pallas_fwd_hwnfc(y, ident, a, b, *, interpret: bool = False):
+    from jax.experimental import pallas as pl
+
+    n, f, h, w, c = y.shape
+    fo = _out_frames(f)
+    yt, it = _to_hwnfc(y), _to_hwnfc(ident)
+    ar, br = _row_affine(a, n), _row_affine(b, n)
+    wb = _block_w(w, n * f * c, 920_000)
+    grid = (h, w // wb)
+    blk = lambda i, j: (i, j, 0, 0, 0)
+    aff = lambda i, j: (0, 0, 0)
+    out = pl.pallas_call(
+        functools.partial(_kernel_hwnfc, f_in=f),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, wb, n, f, c), blk),
+            pl.BlockSpec((1, wb, n, f, c), blk),
+            pl.BlockSpec((n, 1, c), aff),
+            pl.BlockSpec((n, 1, c), aff),
+        ],
+        out_specs=pl.BlockSpec((1, wb, n, fo, c), blk),
+        out_shape=jax.ShapeDtypeStruct((h, w, n, fo, c), y.dtype),
+        interpret=interpret,
+    )(yt, it, ar, br)
+    return _from_hwnfc(out)
+
+
+def _bwd_kernel_hwnfc(y_ref, id_ref, a_ref, b_ref, ct_ref, dpre_ref,
+                      dab_ref, *, f_in):
+    """One (h, w-block): same routing math as _bwd_kernel, F on axis 3.
+    dab accumulates per-row (N, 2, C) partials across the whole grid (the
+    output block is VMEM-resident: its index map is constant)."""
+    import jax.experimental.pallas as pl
+
+    y = y_ref[...].astype(jnp.float32)            # (1, wb, n, f, c)
+    a = a_ref[...][None, None]
+    b = b_ref[...][None, None]
+    pre = y * a + b + id_ref[...].astype(jnp.float32)
+    z = jnp.maximum(pre, 0.0)
+    ct = ct_ref[...].astype(jnp.float32)          # (1, wb, n, fo, c)
+    dz_frames = [None] * f_in
+    for fo in range(_out_frames(f_in)):
+        lo, hi = max(0, 2 * fo - 1), min(f_in, 2 * fo + 2)
+        zw = [z[..., k:k + 1, :] for k in range(lo, hi)]
+        m = zw[0]
+        for t in zw[1:]:
+            m = jnp.maximum(m, t)
+        g = ct[..., fo:fo + 1, :]
+        not_taken = None
+        for idx, k in enumerate(range(lo, hi)):
+            sel = zw[idx] == m
+            if not_taken is not None:
+                sel = sel & not_taken
+            not_taken = (~sel if not_taken is None else not_taken & ~sel)
+            contrib = jnp.where(sel, g, 0.0)
+            dz_frames[k] = (contrib if dz_frames[k] is None
+                            else dz_frames[k] + contrib)
+    dz = jnp.concatenate(
+        [d if d is not None else jnp.zeros_like(z[..., :1, :])
+         for d in dz_frames], axis=3)
+    dpre = jnp.where(pre > 0.0, dz, 0.0)
+    dpre_ref[...] = dpre.astype(dpre_ref.dtype)
+    part = jnp.stack([jnp.sum(dpre * y, axis=(0, 1, 3)),
+                      jnp.sum(dpre, axis=(0, 1, 3))], axis=1)  # (n, 2, c)
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init():
+        dab_ref[...] = jnp.zeros_like(dab_ref)
+
+    dab_ref[...] += part
+
+
+def _bwd_hwnfc(y, ident, a, b, ct, *, interpret: bool = False):
+    """Raw layout-native backward: (dpre (N,F,H,W,C), dab (N,2,C))."""
+    from jax.experimental import pallas as pl
+
+    n, f, h, w, c = y.shape
+    fo = _out_frames(f)
+    yt, it, ctt = _to_hwnfc(y), _to_hwnfc(ident), _to_hwnfc(ct)
+    ar, br = _row_affine(a, n), _row_affine(b, n)
+    wb = _block_w(w, n * f * c, 230_000)
+    grid = (h, w // wb)
+    blk = lambda i, j: (i, j, 0, 0, 0)
+    aff = lambda i, j: (0, 0, 0)
+    dpre, dab = pl.pallas_call(
+        functools.partial(_bwd_kernel_hwnfc, f_in=f),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, wb, n, f, c), blk),
+            pl.BlockSpec((1, wb, n, f, c), blk),
+            pl.BlockSpec((n, 1, c), aff),
+            pl.BlockSpec((n, 1, c), aff),
+            pl.BlockSpec((1, wb, n, fo, c), blk),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, wb, n, f, c), blk),
+            pl.BlockSpec((n, 2, c), lambda i, j: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h, w, n, f, c), ident.dtype),
+            jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(yt, it, ar, br, ctt)
+    return _from_hwnfc(dpre), dab
 
 
 # --------------------------------------------------------------------------
@@ -422,6 +609,8 @@ def fused_bn_add_relu_tpool(y, ident, a, b):
             trace_counts["pallas_gspmd"] += 1
             return _fwd_op(y, ident, a, b)
         trace_counts["pallas_single"] += 1
+        if _hwnfc_ok(y, a):
+            return _pallas_fwd_hwnfc(y, ident, a, b, interpret=_interp())
         return _pallas_fwd(y, ident, a, b, interpret=_interp())
     trace_counts["fallback"] += 1
     return reference_impl(y, ident, a, b)

@@ -225,3 +225,113 @@ class TestFusedTPool:
             lambda s1, s2: np.testing.assert_allclose(
                 np.asarray(s1), np.asarray(s2), rtol=1e-2, atol=2e-3),
             mut1, mut2)
+
+
+class TestFusedTPoolHWNFC:
+    """Layout-native (H, W, N, F, C) kernel variant (round 5): must be
+    bit-equal to the proven 5D kernels -- same affine row mapping, same
+    pool windows, same first-max tie routing. Called directly (the
+    dispatch gate requires a single device and F % 8 == 0; tests run on
+    the 8-device CPU mesh)."""
+
+    def _args(self, n=4, f=8, h=4, w=4, c=128, r=1, s=2):
+        import jax
+        import jax.numpy as jnp
+
+        k = jax.random.PRNGKey(42)
+        y = jax.random.normal(k, (n, f, h, w, c), jnp.float32)
+        ident = jax.random.normal(jax.random.fold_in(k, 1),
+                                  (n, f, h, w, c), jnp.float32)
+        a = jax.random.normal(jax.random.fold_in(k, 2), (r, s, c)) * 0.3 + 1.0
+        b = jax.random.normal(jax.random.fold_in(k, 3), (r, s, c)) * 0.1
+        return y, ident, a, b
+
+    @pytest.mark.parametrize("shape", [
+        dict(n=4, f=8, h=4, w=4, c=128, r=1, s=2),
+        dict(n=8, f=8, h=4, w=4, c=128, r=2, s=2),
+        dict(n=5, f=8, h=4, w=6, c=128, r=1, s=5),
+    ])
+    def test_fwd_matches_reference(self, shape):
+        import numpy as np
+        from adamml_tpu.ops.pallas.tpool_fused import (_pallas_fwd_hwnfc,
+                                                       reference_impl)
+
+        y, ident, a, b = self._args(**shape)
+        want = np.asarray(reference_impl(y, ident, a, b))
+        got = np.asarray(_pallas_fwd_hwnfc(y, ident, a, b, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    @pytest.mark.parametrize("shape", [
+        dict(n=4, f=8, h=4, w=4, c=128, r=1, s=2),
+        dict(n=8, f=8, h=4, w=4, c=128, r=2, s=2),
+    ])
+    def test_bwd_matches_5d_kernel(self, shape):
+        """dpre and the per-row (N, 2, C) affine partials must match the
+        proven 5D backward kernel exactly (same contract, same routing)."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from adamml_tpu.ops.pallas.tpool_fused import (_bwd_core, _bwd_hwnfc,
+                                                       _out_frames)
+
+        y, ident, a, b = self._args(**shape)
+        n, f, h, w, c = y.shape
+        ct = jax.random.normal(jax.random.PRNGKey(9),
+                               (n, _out_frames(f), h, w, c), jnp.float32)
+        want = _bwd_core(y, ident, a, b, ct, interpret=True)
+        got = _bwd_hwnfc(y, ident, a, b, ct, interpret=True)
+        for g1, g2, name in zip(got, want, ("dpre", "dab")):
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                       rtol=1e-5, atol=1e-5, err_msg=name)
+
+    def test_bwd_tie_routing_matches_vjp(self):
+        """Positive cross-frame ties: cotangent to the FIRST max in window
+        order, exactly like reduce_window max's VJP."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from adamml_tpu.ops.pallas.tpool_fused import (_bwd_hwnfc,
+                                                       _out_frames,
+                                                       reference_impl)
+
+        n, f, h, w, c = 2, 8, 4, 4, 128
+        frame = jax.random.normal(jax.random.PRNGKey(0), (n, 1, h, w, c))
+        y = jnp.tile(jnp.abs(frame) + 0.5, (1, f, 1, 1, 1))
+        ident = jnp.zeros_like(y)
+        a = jnp.ones((1, 1, c))
+        b = jnp.zeros((1, 1, c))
+        ct = jax.random.normal(jax.random.PRNGKey(1),
+                               (n, _out_frames(f), h, w, c), jnp.float32)
+        _, vjp = jax.vjp(reference_impl, y, ident, a, b)
+        want_dy, want_did, want_da, want_db = vjp(ct)
+        dpre, dab = _bwd_hwnfc(y, ident, a, b, ct, interpret=True)
+        # dpre IS dident; dy = dpre * a (identity affine here); da/db from
+        # the per-row partials summed over rows (one global group)
+        np.testing.assert_allclose(np.asarray(dpre), np.asarray(want_did),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dpre), np.asarray(want_dy),
+                                   rtol=1e-5, atol=1e-5)  # a == 1
+        np.testing.assert_allclose(np.asarray(dab[:, 0].sum(0))[None, None],
+                                   np.asarray(want_da), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dab[:, 1].sum(0))[None, None],
+                                   np.asarray(want_db), rtol=1e-4, atol=1e-4)
+
+    def test_gate_conditions(self):
+        """_hwnfc_ok: single device + whole sublane tiles (F % 8) + whole
+        lanes (C % 128) + wb=1 block under the backward VMEM budget."""
+        import jax
+        import jax.numpy as jnp
+        from adamml_tpu.ops.pallas import tpool_fused as tf
+
+        y8 = jnp.zeros((4, 8, 4, 4, 128), jnp.bfloat16)
+        a = jnp.zeros((1, 2, 128))
+        # the CPU test mesh has 8 devices -> gate is off; force the device
+        # condition aside to test the shape conditions
+        assert not tf._hwnfc_ok(y8, a)  # multi-device mesh
+        if jax.device_count() == 1:  # pragma: no cover - not on test mesh
+            assert tf._hwnfc_ok(y8, a)
+        # shape conditions, independent of device count
+        n, f, h, w, c = y8.shape
+        assert f % 8 == 0 and c % 128 == 0 and n * f * c <= 230_000
+        y4 = jnp.zeros((4, 4, 4, 4, 128), jnp.bfloat16)  # F=4: stage 2/3
+        assert y4.shape[1] % 8 != 0  # excluded by the F tile condition

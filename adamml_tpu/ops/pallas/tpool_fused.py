@@ -316,7 +316,10 @@ def _pallas_fwd_hwnfc(y, ident, a, b, *, interpret: bool = False):
     fo = _out_frames(f)
     yt, it = _to_hwnfc(y), _to_hwnfc(ident)
     ar, br = _row_affine(a, n), _row_affine(b, n)
-    wb = _block_w(w, n * f * c, 920_000)
+    # tighter than the 5D kernel's budget: the concat-of-window-maxes holds
+    # more f32 intermediates here; 920k elems measured 416 KB over the 16 MB
+    # scoped-VMEM limit at the flagship stage-1 block (wb=4)
+    wb = _block_w(w, n * f * c, 460_000)
     grid = (h, w // wb)
     blk = lambda i, j: (i, j, 0, 0, 0)
     aff = lambda i, j: (0, 0, 0)

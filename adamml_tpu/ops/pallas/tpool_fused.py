@@ -261,8 +261,11 @@ def _hwnfc_ok(y, a) -> bool:
     n, f, h, w, c = y.shape
     if os.environ.get("ADAMML_NO_TPOOL_HWNFC") == "1":
         return False
-    # n*f*c is the wb=1 block size; it must fit the backward VMEM budget
-    return (jax.device_count() == 1 and f % 8 == 0 and c % 128 == 0
+    # n*f*c is the wb=1 block size; it must fit the backward VMEM budget.
+    # The kernel interface is rank-4 (H, W, N*F, C), so byte identity with
+    # the conv layout holds for any (8,128)-tileable (N*F, C) -- all three
+    # stage boundaries at the flagship batch qualify.
+    return (jax.device_count() == 1 and (n * f) % 8 == 0 and c % 128 == 0
             and n * f * c <= 230_000)
 
 
@@ -287,26 +290,40 @@ def _row_affine(a, n: int):
 
 
 def _to_hwnfc(t):
-    """(N, F, H, W, C) -> (H, W, N, F, C): byte-identical to the conv's
-    native [H][W][N*F][C] layout, so XLA lowers it as a bitcast."""
-    return jnp.transpose(t, (2, 3, 0, 1, 4))
+    """(N, F, H, W, C) -> rank-4 (H, W, N*F, C): byte-identical to the
+    conv's native [H][W][N*F][C] layout for ANY (8,128)-tiled packing (the
+    5D (..., F, C) interface was only byte-identical when F filled whole
+    packed tiles), so XLA lowers the transpose as a bitcast."""
+    n, f, h, w, c = t.shape
+    return jnp.transpose(t, (2, 3, 0, 1, 4)).reshape(h, w, n * f, c)
 
 
-def _from_hwnfc(t):
-    return jnp.transpose(t, (2, 3, 0, 1, 4))
+def _from_hwnfc(t, n: int):
+    h, w, nf, c = t.shape
+    return jnp.transpose(t.reshape(h, w, n, nf // n, c), (2, 3, 0, 1, 4))
 
 
-def _kernel_hwnfc(y_ref, id_ref, a_ref, b_ref, o_ref, *, f_in):
-    # blocks: y/id (1, wb, N, F, C), o (1, wb, N, Fo, C); a/b (N, 1, C)
+def _kernel_hwnfc(y_ref, id_ref, a_ref, b_ref, o_ref, *, n, f_in):
+    # blocks: y/id (1, wb, N*F, C), o (1, wb, N*Fo, C); a/b (N, 1, C).
+    # The (N*F) -> (N, F) split is an in-register shape cast: for F a
+    # multiple of the sublane tile it is pure metadata, otherwise Mosaic
+    # lowers sublane-granular shuffles (still far cheaper than the HBM
+    # relayout copies this kernel interface eliminates).
+    def unfold(v):
+        s = v.shape
+        return v.reshape(s[0], s[1], n, s[2] // n, s[3])
+
     a = a_ref[...][None, None]  # (1, 1, N, 1, C)
     b = b_ref[...][None, None]
-    z = y_ref[...].astype(jnp.float32) * a + b
-    z = jnp.maximum(z + id_ref[...].astype(jnp.float32), 0.0)
+    z = unfold(y_ref[...]).astype(jnp.float32) * a + b
+    z = jnp.maximum(z + unfold(id_ref[...]).astype(jnp.float32), 0.0)
     outs = []
     for fo in range(_out_frames(f_in)):
         lo, hi = max(0, 2 * fo - 1), min(f_in, 2 * fo + 2)
         outs.append(jnp.max(z[..., lo:hi, :], axis=3, keepdims=True))
-    o_ref[...] = jnp.concatenate(outs, axis=3).astype(o_ref.dtype)
+    o = jnp.concatenate(outs, axis=3)
+    o_ref[...] = o.reshape(o.shape[0], o.shape[1], -1,
+                           o.shape[4]).astype(o_ref.dtype)
 
 
 def _pallas_fwd_hwnfc(y, ident, a, b, *, interpret: bool = False):
@@ -321,37 +338,42 @@ def _pallas_fwd_hwnfc(y, ident, a, b, *, interpret: bool = False):
     # scoped-VMEM limit at the flagship stage-1 block (wb=4)
     wb = _block_w(w, n * f * c, 460_000)
     grid = (h, w // wb)
-    blk = lambda i, j: (i, j, 0, 0, 0)
+    blk = lambda i, j: (i, j, 0, 0)
     aff = lambda i, j: (0, 0, 0)
     out = pl.pallas_call(
-        functools.partial(_kernel_hwnfc, f_in=f),
+        functools.partial(_kernel_hwnfc, n=n, f_in=f),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, wb, n, f, c), blk),
-            pl.BlockSpec((1, wb, n, f, c), blk),
+            pl.BlockSpec((1, wb, n * f, c), blk),
+            pl.BlockSpec((1, wb, n * f, c), blk),
             pl.BlockSpec((n, 1, c), aff),
             pl.BlockSpec((n, 1, c), aff),
         ],
-        out_specs=pl.BlockSpec((1, wb, n, fo, c), blk),
-        out_shape=jax.ShapeDtypeStruct((h, w, n, fo, c), y.dtype),
+        out_specs=pl.BlockSpec((1, wb, n * fo, c), blk),
+        out_shape=jax.ShapeDtypeStruct((h, w, n * fo, c), y.dtype),
         interpret=interpret,
     )(yt, it, ar, br)
-    return _from_hwnfc(out)
+    return _from_hwnfc(out, n)
 
 
 def _bwd_kernel_hwnfc(y_ref, id_ref, a_ref, b_ref, ct_ref, dpre_ref,
-                      dab_ref, *, f_in):
-    """One (h, w-block): same routing math as _bwd_kernel, F on axis 3.
-    dab accumulates per-row (N, 2, C) partials across the whole grid (the
-    output block is VMEM-resident: its index map is constant)."""
+                      dab_ref, *, n, f_in):
+    """One (h, w-block): same routing math as _bwd_kernel, F on axis 3 of
+    the in-kernel (1, wb, N, F, C) view of the rank-4 (1, wb, N*F, C)
+    block. dab accumulates per-row (N, 2, C) partials across the whole
+    grid (the output block is VMEM-resident: its index map is constant)."""
     import jax.experimental.pallas as pl
 
-    y = y_ref[...].astype(jnp.float32)            # (1, wb, n, f, c)
+    def unfold(v):
+        s = v.shape
+        return v.reshape(s[0], s[1], n, s[2] // n, s[3])
+
+    y = unfold(y_ref[...]).astype(jnp.float32)    # (1, wb, n, f, c)
     a = a_ref[...][None, None]
     b = b_ref[...][None, None]
-    pre = y * a + b + id_ref[...].astype(jnp.float32)
+    pre = y * a + b + unfold(id_ref[...]).astype(jnp.float32)
     z = jnp.maximum(pre, 0.0)
-    ct = ct_ref[...].astype(jnp.float32)          # (1, wb, n, fo, c)
+    ct = unfold(ct_ref[...]).astype(jnp.float32)  # (1, wb, n, fo, c)
     dz_frames = [None] * f_in
     for fo in range(_out_frames(f_in)):
         lo, hi = max(0, 2 * fo - 1), min(f_in, 2 * fo + 2)
@@ -373,7 +395,8 @@ def _bwd_kernel_hwnfc(y_ref, id_ref, a_ref, b_ref, ct_ref, dpre_ref,
         [d if d is not None else jnp.zeros_like(z[..., :1, :])
          for d in dz_frames], axis=3)
     dpre = jnp.where(pre > 0.0, dz, 0.0)
-    dpre_ref[...] = dpre.astype(dpre_ref.dtype)
+    dpre_ref[...] = dpre.reshape(dpre.shape[0], dpre.shape[1], -1,
+                                 dpre.shape[4]).astype(dpre_ref.dtype)
     part = jnp.stack([jnp.sum(dpre * y, axis=(0, 1, 3)),
                       jnp.sum(dpre, axis=(0, 1, 3))], axis=1)  # (n, 2, c)
 
@@ -394,29 +417,29 @@ def _bwd_hwnfc(y, ident, a, b, ct, *, interpret: bool = False):
     ar, br = _row_affine(a, n), _row_affine(b, n)
     wb = _block_w(w, n * f * c, 230_000)
     grid = (h, w // wb)
-    blk = lambda i, j: (i, j, 0, 0, 0)
+    blk = lambda i, j: (i, j, 0, 0)
     aff = lambda i, j: (0, 0, 0)
     dpre, dab = pl.pallas_call(
-        functools.partial(_bwd_kernel_hwnfc, f_in=f),
+        functools.partial(_bwd_kernel_hwnfc, n=n, f_in=f),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, wb, n, f, c), blk),
-            pl.BlockSpec((1, wb, n, f, c), blk),
+            pl.BlockSpec((1, wb, n * f, c), blk),
+            pl.BlockSpec((1, wb, n * f, c), blk),
             pl.BlockSpec((n, 1, c), aff),
             pl.BlockSpec((n, 1, c), aff),
-            pl.BlockSpec((1, wb, n, fo, c), blk),
+            pl.BlockSpec((1, wb, n * fo, c), blk),
         ],
         out_specs=[
-            pl.BlockSpec((1, wb, n, f, c), blk),
+            pl.BlockSpec((1, wb, n * f, c), blk),
             pl.BlockSpec((n, 2, c), lambda i, j: (0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((h, w, n, f, c), ident.dtype),
+            jax.ShapeDtypeStruct((h, w, n * f, c), ident.dtype),
             jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
         ],
         interpret=interpret,
     )(yt, it, ar, br, ctt)
-    return _from_hwnfc(dpre), dab
+    return _from_hwnfc(dpre, n), dab
 
 
 # --------------------------------------------------------------------------

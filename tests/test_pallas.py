@@ -250,6 +250,8 @@ class TestFusedTPoolHWNFC:
         dict(n=4, f=8, h=4, w=4, c=128, r=1, s=2),
         dict(n=8, f=8, h=4, w=4, c=128, r=2, s=2),
         dict(n=5, f=8, h=4, w=6, c=128, r=1, s=5),
+        dict(n=4, f=4, h=4, w=4, c=128, r=1, s=2),  # stage-2 frame count
+        dict(n=4, f=2, h=4, w=4, c=128, r=1, s=2),  # stage-3 frame count
     ])
     def test_fwd_matches_reference(self, shape):
         import numpy as np
@@ -264,6 +266,8 @@ class TestFusedTPoolHWNFC:
     @pytest.mark.parametrize("shape", [
         dict(n=4, f=8, h=4, w=4, c=128, r=1, s=2),
         dict(n=8, f=8, h=4, w=4, c=128, r=2, s=2),
+        dict(n=4, f=4, h=4, w=4, c=128, r=1, s=2),
+        dict(n=4, f=2, h=4, w=4, c=128, r=1, s=2),
     ])
     def test_bwd_matches_5d_kernel(self, shape):
         """dpre and the per-row (N, 2, C) affine partials must match the
@@ -317,8 +321,9 @@ class TestFusedTPoolHWNFC:
                                    np.asarray(want_db), rtol=1e-4, atol=1e-4)
 
     def test_gate_conditions(self):
-        """_hwnfc_ok: single device + whole sublane tiles (F % 8) + whole
-        lanes (C % 128) + wb=1 block under the backward VMEM budget."""
+        """_hwnfc_ok: single device + (N*F, C) tileable (the rank-4 kernel
+        interface is byte-identical for any 8-row-aligned N*F and whole-lane
+        C) + wb=1 block under the backward VMEM budget."""
         import jax
         import jax.numpy as jnp
         from adamml_tpu.ops.pallas import tpool_fused as tf
@@ -330,8 +335,7 @@ class TestFusedTPoolHWNFC:
         assert not tf._hwnfc_ok(y8, a)  # multi-device mesh
         if jax.device_count() == 1:  # pragma: no cover - not on test mesh
             assert tf._hwnfc_ok(y8, a)
-        # shape conditions, independent of device count
-        n, f, h, w, c = y8.shape
-        assert f % 8 == 0 and c % 128 == 0 and n * f * c <= 230_000
-        y4 = jnp.zeros((4, 4, 4, 4, 128), jnp.bfloat16)  # F=4: stage 2/3
-        assert y4.shape[1] % 8 != 0  # excluded by the F tile condition
+        # all three flagship stage-boundary shapes satisfy the shape gates
+        for n, f, c in ((80, 8, 256), (80, 4, 512), (80, 2, 1024)):
+            assert (n * f) % 8 == 0 and c % 128 == 0
+            assert n * f * c <= 230_000

@@ -248,25 +248,64 @@ def _pallas_fwd(y, ident, a, b, *, interpret: bool = False):
 # byte order IS the conv's native [H][W][N*F][C] layout -- the transposes
 # into/out of the kernel are then byte-identical reinterpretations that XLA
 # lowers as bitcasts instead of copies (worst case it still copies and we
-# are no worse off). Blocks stream contiguous (1, wb, N, F, C) slabs; the
+# are no worse off). Blocks stream contiguous (1, wb, nb, F, C) slabs; the
 # grouped-BN affine is pre-gathered to per-row (N, 1, C) outside the kernel
 # (tiny) so the block math is a pure broadcast. Byte identity needs whole
-# sublane tiles, so the variant applies only when F % 8 == 0 (stage 1's
-# F=8; stages 2-3 keep the 5D kernel) and C % 128 == 0, on single-device
-# jit (the GSPMD op keeps the 5D interface).
+# sublane tiles, so the variant applies when (N*F) % 8 == 0 and
+# C % 128 == 0; the grid blocks the N*F axis at tile-aligned clip
+# boundaries (_nf_block), so any batch fits the VMEM budget -- all three
+# stage boundaries at any flagship batch qualify. Dispatched on
+# single-device jit AND per shard inside the GSPMD lower callbacks (a
+# shard's lowering is itself a single-device program).
 # --------------------------------------------------------------------------
+
+
+# VMEM block budgets (elements): the forward's concat-of-window-maxes holds
+# fewer f32 intermediates than the backward's recompute+routing, so it gets
+# the looser bound. 920k elems measured 416 KB over the 16 MB scoped-VMEM
+# limit at the flagship stage-1 forward block (wb=4).
+_HWNFC_FWD_BUDGET = 460_000
+_HWNFC_BWD_BUDGET = 230_000
+
+
+def _nf_block(n: int, f: int, c: int, budget: int) -> int:
+    """Largest divisor nb of n such that an (nb*F, C) slice of the rank-4
+    (H, W, N*F, C) view starts on a sublane-tile boundary ((nb*f) % 8 == 0,
+    preserving the bitcast byte identity for every grid block), the POOLED
+    output's per-block slice is likewise tile-aligned ((nb*fo) % 8 == 0),
+    and the wb=1 block fits the VMEM budget. 0 if none exists."""
+    fo = _out_frames(f)
+    best = 0
+    for nb in range(1, n + 1):
+        if n % nb or nb * f * c > budget:
+            continue
+        # nb == n: the block IS the whole NF axis, which Mosaic accepts
+        # regardless of tile divisibility (block dim == array dim)
+        if nb == n or ((nb * f) % 8 == 0 and (nb * fo) % 8 == 0):
+            best = nb
+    return best
+
+
+def _hwnfc_shape_ok(n: int, f: int, c: int) -> bool:
+    """Shape-only gate (used as-is by the GSPMD lower callbacks on LOCAL
+    shard shapes): lane-aligned channels and some N*F-axis blocking that
+    keeps byte identity while fitting the tighter (backward) VMEM budget.
+    Since round 5 the grid blocks the N*F axis too, so there is no upper
+    bound on N -- e.g. batch 24's stage-1 (n=120, f=8, c=256), which the
+    old whole-NF kernel rejected (245,760 elems), splits into two nb=60
+    blocks of 122,880."""
+    if os.environ.get("ADAMML_NO_TPOOL_HWNFC") == "1":
+        return False
+    # (n*f) % 8 keeps the _to_hwnfc transposes byte-identical to the tiled
+    # conv layout (the whole point of this variant -- a shape where they
+    # lower as copies would be no better than the 5D kernel)
+    return ((n * f) % 8 == 0 and c % 128 == 0
+            and _nf_block(n, f, c, _HWNFC_BWD_BUDGET) >= 1)
 
 
 def _hwnfc_ok(y, a) -> bool:
     n, f, h, w, c = y.shape
-    if os.environ.get("ADAMML_NO_TPOOL_HWNFC") == "1":
-        return False
-    # n*f*c is the wb=1 block size; it must fit the backward VMEM budget.
-    # The kernel interface is rank-4 (H, W, N*F, C), so byte identity with
-    # the conv layout holds for any (8,128)-tileable (N*F, C) -- all three
-    # stage boundaries at the flagship batch qualify.
-    return (jax.device_count() == 1 and (n * f) % 8 == 0 and c % 128 == 0
-            and n * f * c <= 230_000)
+    return jax.device_count() == 1 and _hwnfc_shape_ok(n, f, c)
 
 
 def _block_w(w: int, per_w_elems: int, budget: int) -> int:
@@ -331,25 +370,29 @@ def _pallas_fwd_hwnfc(y, ident, a, b, *, interpret: bool = False):
 
     n, f, h, w, c = y.shape
     fo = _out_frames(f)
+    trace_counts["hwnfc"] += 1
     yt, it = _to_hwnfc(y), _to_hwnfc(ident)
     ar, br = _row_affine(a, n), _row_affine(b, n)
-    # tighter than the 5D kernel's budget: the concat-of-window-maxes holds
-    # more f32 intermediates here; 920k elems measured 416 KB over the 16 MB
-    # scoped-VMEM limit at the flagship stage-1 block (wb=4)
-    wb = _block_w(w, n * f * c, 460_000)
-    grid = (h, w // wb)
-    blk = lambda i, j: (i, j, 0, 0)
-    aff = lambda i, j: (0, 0, 0)
+    # block the N*F axis first (nb whole clips rows, tile-aligned so each
+    # grid block stays a bitcast view), then widen along W up to the budget;
+    # `or n` only for direct (un-gated) callers on shapes over the budget
+    nb = _nf_block(n, f, c, _HWNFC_FWD_BUDGET) or n
+    wb = _block_w(w, nb * f * c, _HWNFC_FWD_BUDGET)
+    # k outermost (match the backward, whose dab accumulator needs
+    # consecutive revisits per k); i/j sweep the spatial plane per k-block
+    grid = (n // nb, h, w // wb)
+    blk = lambda k, i, j: (i, j, k, 0)
+    aff = lambda k, i, j: (k, 0, 0)
     out = pl.pallas_call(
-        functools.partial(_kernel_hwnfc, n=n, f_in=f),
+        functools.partial(_kernel_hwnfc, n=nb, f_in=f),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, wb, n * f, c), blk),
-            pl.BlockSpec((1, wb, n * f, c), blk),
-            pl.BlockSpec((n, 1, c), aff),
-            pl.BlockSpec((n, 1, c), aff),
+            pl.BlockSpec((1, wb, nb * f, c), blk),
+            pl.BlockSpec((1, wb, nb * f, c), blk),
+            pl.BlockSpec((nb, 1, c), aff),
+            pl.BlockSpec((nb, 1, c), aff),
         ],
-        out_specs=pl.BlockSpec((1, wb, n * fo, c), blk),
+        out_specs=pl.BlockSpec((1, wb, nb * fo, c), blk),
         out_shape=jax.ShapeDtypeStruct((h, w, n * fo, c), y.dtype),
         interpret=interpret,
     )(yt, it, ar, br)
@@ -358,10 +401,11 @@ def _pallas_fwd_hwnfc(y, ident, a, b, *, interpret: bool = False):
 
 def _bwd_kernel_hwnfc(y_ref, id_ref, a_ref, b_ref, ct_ref, dpre_ref,
                       dab_ref, *, n, f_in):
-    """One (h, w-block): same routing math as _bwd_kernel, F on axis 3 of
-    the in-kernel (1, wb, N, F, C) view of the rank-4 (1, wb, N*F, C)
-    block. dab accumulates per-row (N, 2, C) partials across the whole
-    grid (the output block is VMEM-resident: its index map is constant)."""
+    """One (nf-block, h, w-block): same routing math as _bwd_kernel, F on
+    axis 3 of the in-kernel (1, wb, nb, F, C) view of the rank-4
+    (1, wb, nb*F, C) block. dab accumulates per-row (nb, 2, C) partials
+    across the spatial grid dims of its k-block (k is the OUTERMOST grid
+    dim, so each dab block's revisits are consecutive)."""
     import jax.experimental.pallas as pl
 
     def unfold(v):
@@ -400,7 +444,7 @@ def _bwd_kernel_hwnfc(y_ref, id_ref, a_ref, b_ref, ct_ref, dpre_ref,
     part = jnp.stack([jnp.sum(dpre * y, axis=(0, 1, 3)),
                       jnp.sum(dpre, axis=(0, 1, 3))], axis=1)  # (n, 2, c)
 
-    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    @pl.when((pl.program_id(1) == 0) & (pl.program_id(2) == 0))
     def _init():
         dab_ref[...] = jnp.zeros_like(dab_ref)
 
@@ -415,23 +459,24 @@ def _bwd_hwnfc(y, ident, a, b, ct, *, interpret: bool = False):
     fo = _out_frames(f)
     yt, it, ctt = _to_hwnfc(y), _to_hwnfc(ident), _to_hwnfc(ct)
     ar, br = _row_affine(a, n), _row_affine(b, n)
-    wb = _block_w(w, n * f * c, 230_000)
-    grid = (h, w // wb)
-    blk = lambda i, j: (i, j, 0, 0)
-    aff = lambda i, j: (0, 0, 0)
+    nb = _nf_block(n, f, c, _HWNFC_BWD_BUDGET) or n
+    wb = _block_w(w, nb * f * c, _HWNFC_BWD_BUDGET)
+    grid = (n // nb, h, w // wb)
+    blk = lambda k, i, j: (i, j, k, 0)
+    aff = lambda k, i, j: (k, 0, 0)
     dpre, dab = pl.pallas_call(
-        functools.partial(_bwd_kernel_hwnfc, n=n, f_in=f),
+        functools.partial(_bwd_kernel_hwnfc, n=nb, f_in=f),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, wb, n * f, c), blk),
-            pl.BlockSpec((1, wb, n * f, c), blk),
-            pl.BlockSpec((n, 1, c), aff),
-            pl.BlockSpec((n, 1, c), aff),
-            pl.BlockSpec((1, wb, n * fo, c), blk),
+            pl.BlockSpec((1, wb, nb * f, c), blk),
+            pl.BlockSpec((1, wb, nb * f, c), blk),
+            pl.BlockSpec((nb, 1, c), aff),
+            pl.BlockSpec((nb, 1, c), aff),
+            pl.BlockSpec((1, wb, nb * fo, c), blk),
         ],
         out_specs=[
-            pl.BlockSpec((1, wb, n * f, c), blk),
-            pl.BlockSpec((n, 2, c), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((1, wb, nb * f, c), blk),
+            pl.BlockSpec((nb, 2, c), aff),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((h, w, n * f, c), ident.dtype),
@@ -530,6 +575,11 @@ def _partition_fwd(mesh, arg_shapes, result_shape):
     plan = _plan(mesh, arg_shapes)
 
     def lower(y, ident, a, b):
+        # per-shard lowering IS a single-device program: use the
+        # layout-native kernel whenever the LOCAL shapes qualify, so real
+        # multi-chip runs skip the relayout copies too (round 5)
+        if _hwnfc_shape_ok(y.shape[0], y.shape[1], y.shape[4]):
+            return _pallas_fwd_hwnfc(y, ident, a, b, interpret=_interp())
         return _pallas_fwd(y, ident, a, b, interpret=_interp())
 
     if plan is None:
@@ -551,6 +601,8 @@ def _partition_bwd(mesh, arg_shapes, result_shape):
     plan = _plan(mesh, arg_shapes)
 
     def lower(y, ident, a, b, ct):
+        if _hwnfc_shape_ok(y.shape[0], y.shape[1], y.shape[4]):
+            return tuple(_bwd_hwnfc(y, ident, a, b, ct, interpret=_interp()))
         return tuple(_bwd_core(y, ident, a, b, ct, interpret=_interp()))
 
     if plan is None:
@@ -618,7 +670,8 @@ def _supported(y, a) -> bool:
 # once per trace -- __graft_entry__.dryrun_multichip reads these to PROVE
 # the graded multichip artifact exercised the custom_partitioning kernel
 # path rather than the jnp fallback (VERDICT r4 weak #4).
-trace_counts = {"pallas_gspmd": 0, "pallas_single": 0, "fallback": 0}
+trace_counts = {"pallas_gspmd": 0, "pallas_single": 0, "fallback": 0,
+                "hwnfc": 0}
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())

@@ -323,7 +323,7 @@ class TestFusedTPoolHWNFC:
     def test_gate_conditions(self):
         """_hwnfc_ok: single device + (N*F, C) tileable (the rank-4 kernel
         interface is byte-identical for any 8-row-aligned N*F and whole-lane
-        C) + wb=1 block under the backward VMEM budget."""
+        C) + a tile-aligned NF-axis block under the backward VMEM budget."""
         import jax
         import jax.numpy as jnp
         from adamml_tpu.ops.pallas import tpool_fused as tf
@@ -335,7 +335,56 @@ class TestFusedTPoolHWNFC:
         assert not tf._hwnfc_ok(y8, a)  # multi-device mesh
         if jax.device_count() == 1:  # pragma: no cover - not on test mesh
             assert tf._hwnfc_ok(y8, a)
-        # all three flagship stage-boundary shapes satisfy the shape gates
-        for n, f, c in ((80, 8, 256), (80, 4, 512), (80, 2, 1024)):
-            assert (n * f) % 8 == 0 and c % 128 == 0
-            assert n * f * c <= 230_000
+        # all three stage-boundary shapes satisfy the shape gate at BOTH
+        # flagship batches -- batch 24's stage 1 (120*8*256 = 245,760)
+        # exceeded the old whole-NF budget and is now blocked along NF
+        for n, f, c in ((80, 8, 256), (80, 4, 512), (80, 2, 1024),
+                        (120, 8, 256), (120, 4, 512), (120, 2, 1024)):
+            assert tf._hwnfc_shape_ok(n, f, c), (n, f, c)
+            nb = tf._nf_block(n, f, c, tf._HWNFC_BWD_BUDGET)
+            assert nb >= 1 and n % nb == 0
+            assert nb * f * c <= tf._HWNFC_BWD_BUDGET
+            fo = tf._out_frames(f)
+            assert nb == n or ((nb * f) % 8 == 0 and (nb * fo) % 8 == 0)
+        # lane misalignment and the kill switch still gate off
+        assert not tf._hwnfc_shape_ok(4, 8, 120)
+        import os
+        os.environ["ADAMML_NO_TPOOL_HWNFC"] = "1"
+        try:
+            assert not tf._hwnfc_shape_ok(80, 8, 256)
+        finally:
+            del os.environ["ADAMML_NO_TPOOL_HWNFC"]
+
+    @pytest.mark.parametrize("shape,budget", [
+        # budgets chosen to force nb < n (NF-axis grid blocking) on CPU-
+        # sized tensors (nb == n is budget-bound too but tile-exempt, so
+        # the budget must exclude it): nb=2 blocks of 2*8*128=2048 elems
+        (dict(n=4, f=8, h=4, w=4, c=128, r=1, s=2), 2048),
+        (dict(n=8, f=8, h=4, w=4, c=128, r=2, s=2), 2048),
+        (dict(n=8, f=4, h=4, w=4, c=128, r=1, s=2), 2048),
+    ])
+    def test_nf_blocking_matches_whole(self, shape, budget, monkeypatch):
+        """nb < n (grid over the NF axis) must be bit-equal to the whole-NF
+        kernel AND the jnp reference -- fwd and bwd."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from adamml_tpu.ops.pallas import tpool_fused as tf
+
+        y, ident, a, b = self._args(**shape)
+        n, f, h, w, c = y.shape
+        nb = tf._nf_block(n, f, c, budget)
+        assert 1 <= nb < n  # the point of the test: blocking is active
+        want_fwd = np.asarray(tf.reference_impl(y, ident, a, b))
+        ct = jax.random.normal(jax.random.PRNGKey(9),
+                               (n, tf._out_frames(f), h, w, c), jnp.float32)
+        want_bwd = tf._bwd_core(y, ident, a, b, ct, interpret=True)
+        monkeypatch.setattr(tf, "_HWNFC_FWD_BUDGET", budget)
+        monkeypatch.setattr(tf, "_HWNFC_BWD_BUDGET", budget)
+        got_fwd = np.asarray(tf._pallas_fwd_hwnfc(y, ident, a, b,
+                                                  interpret=True))
+        np.testing.assert_allclose(got_fwd, want_fwd, atol=1e-6)
+        got_bwd = tf._bwd_hwnfc(y, ident, a, b, ct, interpret=True)
+        for g1, g2, name in zip(got_bwd, want_bwd, ("dpre", "dab")):
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                       rtol=1e-5, atol=1e-5, err_msg=name)
